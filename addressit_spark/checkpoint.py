@@ -1,0 +1,90 @@
+"""Per-stage snapshot tables: resume + per-partition lineage metrics.
+
+Every pipeline stage can materialize to a deterministic parquet path
+(``<dir>/<stage>``). On re-entry, a stage whose snapshot exists (parquet
+``_SUCCESS`` marker) is read back instead of recomputed — the batch analogue
+of the north_rule's "resumes from per-partition snapshot checkpoints".
+Alongside each snapshot a ``_metrics.json`` records row count, partition
+row histogram (per-partition lineage), and the stage's input fingerprint so
+a resumed run can prove it is continuing the same inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _success_marker(path: str) -> str:
+    return os.path.join(path, "_SUCCESS")
+
+
+def stage_metrics(df: DataFrame) -> Dict[str, object]:
+    """Row count + per-partition row histogram, computed in one pass."""
+    per_part = (
+        df.groupBy(F.spark_partition_id().alias("partition"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    rows = sum(r["rows"] for r in per_part)
+    return {
+        "rows": rows,
+        "partitions": len(per_part),
+        "partition_rows": {str(r["partition"]): r["rows"] for r in per_part},
+    }
+
+
+class StageStore:
+    """Snapshot/resume manager for one pipeline run directory."""
+
+    def __init__(self, spark: SparkSession, base_dir: Optional[str], resume: bool = True):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.resume = resume
+        self.lineage: Dict[str, Dict[str, object]] = {}
+
+    def run(
+        self,
+        stage: str,
+        fn: Callable[[], DataFrame],
+        input_fingerprint: str = "",
+    ) -> DataFrame:
+        """Compute-or-reload one stage; record lineage metrics either way."""
+        if self.base_dir is None:
+            df = fn()
+            self.lineage[stage] = {"resumed": False, "materialized": False}
+            return df
+
+        path = os.path.join(self.base_dir, stage)
+        meta_path = os.path.join(self.base_dir, stage + "_metrics.json")
+        if self.resume and os.path.exists(_success_marker(path)):
+            df = self.spark.read.parquet(path)
+            meta = {}
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    meta = json.load(fh)
+            meta["resumed"] = True
+            self.lineage[stage] = meta
+            return df
+
+        df = fn()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        meta = stage_metrics(out)
+        meta.update(
+            {"stage": stage, "input_fingerprint": input_fingerprint, "resumed": False}
+        )
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh, indent=1, sort_keys=True)
+        self.lineage[stage] = meta
+        return out
+
+    def write_lineage(self) -> None:
+        if self.base_dir is None:
+            return
+        with open(os.path.join(self.base_dir, "lineage.json"), "w") as fh:
+            json.dump(self.lineage, fh, indent=1, sort_keys=True, default=str)

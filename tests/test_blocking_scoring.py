@@ -1,0 +1,102 @@
+"""Blocking + scoring: salted pair-set equivalence, JW oracle, thresholds."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from addressit_spark.blocking import (
+    address_table,
+    block_stats,
+    candidate_pairs,
+    candidate_pairs_unsalted,
+)
+from addressit_spark.parse_stage import parse_spans
+from addressit_spark.scoring import DEFAULT_TAU, jaro_winkler, score_pair_py, score_pairs
+from addressit_spark.sources.corpus import documents_view, render_variant, synth_corpus
+
+
+@pytest.fixture(scope="module")
+def addresses(spark):
+    docs = documents_view(synth_corpus(spark, 600, seed=42))
+    return address_table(parse_spans(docs)).cache()
+
+
+def test_salted_pairs_equal_unsalted(spark, addresses):
+    # tiny threshold forces multi-bucket salting on most blocks
+    salted, dropped = candidate_pairs(addresses, heavy_threshold=2, salt_cap=8)
+    unsalted = candidate_pairs_unsalted(addresses)
+    s = salted.select("uid_a", "uid_b")
+    u = unsalted.select("uid_a", "uid_b")
+    assert dropped.count() == 0
+    assert s.count() == u.count()
+    assert s.exceptAll(u).count() == 0
+    assert u.exceptAll(s).count() == 0
+    # canonical order + no dup + no self pairs
+    assert salted.where(F.col("uid_a") >= F.col("uid_b")).count() == 0
+    assert s.distinct().count() == s.count()
+
+
+def test_block_stats_nonempty(addresses):
+    stats = block_stats(addresses).collect()
+    assert sum(r["n_blocks"] for r in stats) > 0
+    assert all(r["block_size"] >= 1 for r in stats)
+
+
+def test_jaro_winkler_matches_duckdb():
+    words = [
+        "MELBOURNE", "MELBORNE", "BRISBANE", "BRISBAN", "ROBINSON ROAD",
+        "ROBINSON RD", "KALGOORLIE", "KALGORLIE", "A", "", "MARTHA", "MARHTA",
+        "DWAYNE", "DUANE", "DIXON", "DICKSONX",
+    ]
+    con = duckdb.connect()
+    for a in words:
+        for b in words:
+            got = jaro_winkler(a, b)
+            want = con.execute(
+                "select jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert abs(got - want) < 1e-9, (a, b, got, want)
+
+
+def test_score_separation():
+    """Same-entity variants score above τ; same-block distinct entities below."""
+    for eid in range(300):
+        texts = [render_variant(eid, v, 42)[0] for v in range(3)]
+        from addressit_spark.kernel import parse
+
+        recs = [parse(t) for t in texts]
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, b = recs[i], recs[j]
+                s = score_pair_py(
+                    (a["street"] or "").upper(), (b["street"] or "").upper(),
+                    a["regions"][0].upper(), b["regions"][0].upper(),
+                    a["number"], b["number"], a["unit"], b["unit"],
+                )
+                assert s >= DEFAULT_TAU, (texts[i], texts[j], s)
+    # same street+locality, different number → must stay below τ
+    s = score_pair_py("ROBINSON RD", "ROBINSON ROAD", "MELBOURNE", "MELBORNE",
+                      "12", "99", None, None)
+    assert s < DEFAULT_TAU, s
+
+
+def test_spark_scoring_matches_kernel(spark, addresses):
+    pairs, _ = candidate_pairs(addresses)
+    scored = score_pairs(pairs).cache()
+    sample = scored.limit(200).collect()
+    feat = {
+        (r["uid_a"], r["uid_b"]): r
+        for r in pairs.join(
+            scored.limit(200).select("uid_a", "uid_b"), ["uid_a", "uid_b"]
+        ).collect()
+    }
+    for r in sample:
+        p = feat[(r["uid_a"], r["uid_b"])]
+        want = score_pair_py(
+            p["street_norm_a"], p["street_norm_b"],
+            p["locality_a"], p["locality_b"],
+            p["number_a"], p["number_b"],
+            p["unit_a"], p["unit_b"],
+        )
+        assert abs(r["score"] - want) < 1e-9

@@ -1,0 +1,100 @@
+"""End-to-end pipeline: CC vs union-find oracle, F1 ≥ 0.99, resume."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from addressit_spark.cluster import cluster_members, connected_components
+from addressit_spark.evaluation import labeled_pairs, pairwise_f1
+from addressit_spark.pipeline import run_pipeline
+from addressit_spark.sources.corpus import documents_view, synth_corpus, truth_view
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_corpus(spark, 1500, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    return run_pipeline(spark, documents_view(corpus))
+
+
+def test_connected_components_vs_union_find(spark, result):
+    edges = [(r["src"], r["dst"]) for r in result.edges.collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for s, d in edges:
+        union(s, d)
+    # canonicalize to min-uid labels
+    want = {}
+    for node in parent:
+        root = find(node)
+        want[node] = min(want.get(root, root), root)
+    roots = {}
+    for node in parent:
+        roots[node] = find(node)
+    # min uid per component
+    comp_min = {}
+    for node, root in roots.items():
+        comp_min[root] = min(comp_min.get(root, node), node)
+    expected = {node: comp_min[root] for node, root in roots.items()}
+
+    got = {
+        r["uid"]: r["component"]
+        for r in connected_components(result.edges).collect()
+    }
+    assert got == expected
+
+
+def test_pairwise_f1_at_least_099(spark, corpus, result):
+    lp = labeled_pairs(result.pairs, truth_view(corpus))
+    metrics = pairwise_f1(lp, result.clusters)
+    assert metrics["tp"] > 0
+    assert metrics["f1"] >= 0.99, metrics
+
+
+def test_clusters_cover_all_address_spans(result):
+    assert result.clusters.count() == result.addresses.count()
+    assert result.clusters.where(F.col("component").isNull()).count() == 0
+
+
+def test_no_dropped_blocks_at_test_scale(result):
+    assert result.dropped_blocks.count() == 0
+
+
+def test_checkpoint_resume(spark, corpus, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    docs = documents_view(corpus)
+    r1 = run_pipeline(spark, docs, checkpoint_dir=ckpt)
+    n1 = r1.clusters.count()
+    assert r1.lineage["clusters"]["resumed"] is False
+    # second run resumes every stage from its snapshot
+    r2 = run_pipeline(spark, docs, checkpoint_dir=ckpt)
+    assert r2.lineage["addresses"]["resumed"] is True
+    assert r2.lineage["clusters"]["resumed"] is True
+    assert r2.clusters.count() == n1
+    got1 = dict((r["uid"], r["component"]) for r in r1.clusters.collect())
+    got2 = dict((r["uid"], r["component"]) for r in r2.clusters.collect())
+    assert got1 == got2
+
+
+def test_isolated_nodes_are_singletons(spark):
+    docs = documents_view(synth_corpus(spark, 40, seed=7))
+    res = run_pipeline(spark, docs)
+    singles = (
+        res.clusters.groupBy("component").count().where(F.col("count") == 1).count()
+    )
+    assert singles > 0  # 1-variant entities exist by construction
