@@ -1,38 +1,579 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full ER pipeline (parse → block → score →
+cluster) on the synthesized interleaved-documents corpus + a parse pass over
+the driver's flat documents table at sf0.001.
+
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+the training-data operator suite); each callable takes (spark, sf_dir).
+
+``oracle_sql()`` — DuckDB-runnable ANSI SQL for every SQL-expressible query
+(same aliases, same rounding). Non-SQL-expressible ops (pandas-UDF parse,
+LSH/minhash/simhash with engine-specific hashes, the iterative ER pipeline)
+are rows-only by design.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from addressit_spark.blocking import address_table, block_stats
+from addressit_spark.evaluation import labeled_pairs, pairwise_f1
+from addressit_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from addressit_spark.operators.multimodal import (
+    decode_and_featurize,
+    frame_sample_plan,
+    with_media_meta,
+)
+from addressit_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_col,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from addressit_spark.operators.text import (
+    STOPWORDS,
+    with_lang_id,
+    with_token_stats,
+    quality_score,
+)
+from addressit_spark.parse_stage import make_parse_udf, normalize_documents, parse_spans
+from addressit_spark.pipeline import run_pipeline
+from addressit_spark.sources.corpus import documents_view, synth_corpus, truth_view
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# deterministic corpus size per scale factor (entities)
+_ENTITIES_BY_SF = {"sf0.001": 400, "sf0.01": 1500, "sf0.1": 8000}
+
+
+def _entities_for(sf_dir: str) -> int:
+    return _ENTITIES_BY_SF.get(os.path.basename(sf_dir.rstrip("/")), 1000)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, name + ".parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ER pipeline on the interleaved corpus + sf0.001 parse pass."""
+    docs_flat = _t(spark, DEFAULT_SF_DIR, "documents")
+    parsed_flat = parse_spans(docs_flat)
+    n_docs = docs_flat.count()
+    n_parsed = parsed_flat.where(F.col("address").isNotNull()).count()
+
+    corpus = synth_corpus(spark, _entities_for(DEFAULT_SF_DIR), seed=42)
+    res = run_pipeline(spark, documents_view(corpus))
+    f1 = pairwise_f1(labeled_pairs(res.pairs, truth_view(corpus)), res.clusters)
+
+    rows = [
+        ("sf0001_documents_rows", float(n_docs)),
+        ("sf0001_parsed_spans", float(n_parsed)),
+        ("er_address_spans", float(res.addresses.count())),
+        ("er_candidate_pairs", float(res.pairs.count())),
+        ("er_match_edges", float(res.edges.count())),
+        ("er_clusters", float(res.clusters.select("component").distinct().count())),
+        ("er_pairwise_f1", float(f1["f1"])),
+        ("er_pairwise_precision", float(f1["precision"])),
+        ("er_pairwise_recall", float(f1["recall"])),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracle-checked queries
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") < 45)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_events_user_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("top_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_token_stats(_t(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_count").alias("total_tokens"),
+            F.round(F.avg("token_count"), 4).alias("avg_tokens"),
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = quality_score(_t(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum(
+                F.when(F.col("quality_score") >= 0.99, 1).otherwise(0)
+            ).alias("n_high_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    total = d.count()
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("share", F.round(F.col("n_docs") / F.lit(float(total)), 6))
+        .orderBy("lang")
+    )
+
+
+def q_exact_dup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_t(spark, sf_dir, "documents")).orderBy("text_hash")
+
+
+def q_exact_dup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the first-8-token prefix (head containment)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    prefix = F.concat_ws(" ", F.slice(toks, 1, 8))
+    keyed = d.select(F.md5(prefix).alias("prefix_hash"), "doc_id")
+    return (
+        keyed.groupBy("prefix_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("prefix_hash")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, min_jaccard=0.2
+    ).orderBy("id_a", "id_b")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries_df, k=10).orderBy("query_id", "rank")
+
+
+def q_embedding_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cos ≥ 0.99) via full pair scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_col(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.99)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (not ANSI-SQL-expressible: pandas-UDF kernels, LSH with
+# engine-specific hashes, iterative CC)
+# ---------------------------------------------------------------------------
+
+
+def q_parse_udf_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from addressit_spark.parity_cases import ALL_REFERENCE_CASES
+
+    inputs = sorted({t for t, loc, _ in ALL_REFERENCE_CASES if loc == "en-US"})
+    df = spark.createDataFrame([(t,) for t in inputs], ["input"])
+    a = df.select("input", make_parse_udf("en-US")(F.col("input")).alias("a"))
+    return a.select(
+        "input", "a.unit", "a.number", "a.street", "a.state", "a.postalcode"
+    ).orderBy("input")
+
+
+def q_er_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synth_corpus(spark, _entities_for(sf_dir), seed=42)
+    res = run_pipeline(spark, documents_view(corpus))
+    return (
+        res.clusters.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def q_er_block_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synth_corpus(spark, _entities_for(sf_dir), seed=42)
+    addrs = address_table(parse_spans(documents_view(corpus)))
+    return block_stats(addrs)
+
+
+def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dup_pairs(
+        _t(spark, sf_dir, "documents"), k=64, bands=16, n=3, min_est_jaccard=0.4
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries_df, k=10, bits=8, probes=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), min_cos=0.99, bits=10
+    ).orderBy("id_a", "id_b")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_lang_id(_t(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synth_corpus(spark, _entities_for(sf_dir), seed=42)
+    spans = normalize_documents(documents_view(corpus))
+    return (
+        with_media_meta(spans)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synth_corpus(spark, min(_entities_for(sf_dir), 500), seed=42)
+    spans = normalize_documents(documents_view(corpus))
+    feats = decode_and_featurize(spans, stub=True)
+    return feats.select(
+        "doc_id",
+        "pos",
+        F.size("feature").alias("feature_dim"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 4
+        ).alias("feature_sum"),
+    ).orderBy("doc_id", "pos")
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = synth_corpus(spark, min(_entities_for(sf_dir), 500), seed=42)
+    spans = normalize_documents(documents_view(corpus))
+    return (
+        frame_sample_plan(spans, every_ms=10_000)
+        .groupBy("doc_id", "pos")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("doc_id", "pos")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational core (SQL oracles)
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "regional_revenue": q_regional_revenue,
+        "events_user_top": q_events_user_top,
+        "events_hourly": q_events_hourly,
+        # text analysis (SQL oracles)
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "lang_share": q_lang_share,
+        # dedup (SQL oracles where portable)
+        "exact_dup_full": q_exact_dup_full,
+        "exact_dup_prefix": q_exact_dup_prefix,
+        "ngram_jaccard": q_ngram_jaccard,
+        # similarity (SQL oracles)
+        "embedding_topk": q_embedding_topk,
+        "embedding_dup_exact": q_embedding_dup_exact,
+        # rows-only: pandas-UDF kernels / engine-hash LSH / iterative CC
+        "parse_udf_fields": q_parse_udf_fields,
+        "er_cluster_sizes": q_er_cluster_sizes,
+        "er_block_histogram": q_er_block_histogram,
+        "minhash_dups": q_minhash_dups,
+        "simhash_dups": q_simhash_dups,
+        "lsh_topk": q_lsh_topk,
+        "embedding_dup_lsh": q_embedding_dup_lsh,
+        "lang_id": q_lang_id,
+        "media_meta": q_media_meta,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — identical aliases, identical rounding
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join("'%s'" % w for w in STOPWORDS)
+
+_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_quantity < 45
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "regional_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(DISTINCT c_custkey) AS n_customers
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "events_user_top": """
+            SELECT user_id, event_id, event_type,
+                   round(value, 4) AS top_value
+            FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+              FROM events) t
+            WHERE rn = 1
+            ORDER BY user_id
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY hour, event_type
+        """,
+        "doc_token_stats": f"""
+            WITH t AS (
+              SELECT lang,
+                     len({_TOKENS}) AS token_count,
+                     CASE WHEN len({_TOKENS}) > 0 THEN
+                       round(len(list_filter({_TOKENS},
+                             t -> list_contains([{_STOP_SQL}], lower(t))))
+                             * 1.0 / len({_TOKENS}), 4)
+                     ELSE 0.0 END AS stopword_ratio
+              FROM documents)
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(token_count) AS total_tokens,
+                   round(avg(token_count), 4) AS avg_tokens,
+                   round(avg(stopword_ratio), 4) AS avg_stopword_ratio
+            FROM t GROUP BY lang ORDER BY lang
+        """,
+        "doc_quality": f"""
+            WITH t AS (
+              SELECT source,
+                     len({_TOKENS}) AS n_tok,
+                     CASE WHEN len({_TOKENS}) > 0 THEN
+                        round(list_sum(list_transform({_TOKENS}, t -> len(t)))
+                              * 1.0 / len({_TOKENS}), 4)
+                     ELSE 0.0 END AS avg_token_len,
+                     CASE WHEN len({_TOKENS}) > 0 THEN
+                        round(len(list_filter({_TOKENS},
+                              t -> list_contains([{_STOP_SQL}], lower(t))))
+                              * 1.0 / len({_TOKENS}), 4)
+                     ELSE 0.0 END AS stopword_ratio
+              FROM documents),
+            q AS (
+              SELECT source,
+                     round((
+                       (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN stopword_ratio >= 0.02 THEN 1.0 ELSE 0.0 END)
+                     ) / 3.0, 4) AS quality_score
+              FROM t)
+            SELECT source,
+                   count(*) AS n_docs,
+                   round(avg(quality_score), 4) AS avg_quality,
+                   sum(CASE WHEN quality_score >= 0.99 THEN 1 ELSE 0 END) AS n_high_quality
+            FROM q GROUP BY source ORDER BY source
+        """,
+        "lang_share": """
+            SELECT lang, count(*) AS n_docs,
+                   round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS share
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "exact_dup_full": """
+            SELECT md5(text) AS text_hash,
+                   count(*) AS n_copies,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+            ORDER BY text_hash
+        """,
+        "exact_dup_prefix": f"""
+            SELECT md5(array_to_string(list_slice({_TOKENS}, 1, 8), ' ')) AS prefix_hash,
+                   count(*) AS n_copies,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+            ORDER BY prefix_hash
+        """,
+        "ngram_jaccard": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS tt FROM documents),
+            sh AS (
+              SELECT doc_id, len(shset) AS set_size, unnest(shset) AS shingle FROM (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tt[i:i+2], ' ')
+                                      for i in range(1, greatest(len(tt)-2, 0)+1)]) AS shset
+                FROM toks)
+              WHERE len(shset) > 0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*) * 1.0 /
+                         (any_value(a.set_size) + any_value(b.set_size) - count(*)), 6) AS jaccard
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING round(count(*) * 1.0 /
+                         (any_value(a.set_size) + any_value(b.set_size) - count(*)), 6) >= 0.2
+            ORDER BY id_a, id_b
+        """,
+        "embedding_topk": """
+            SELECT query_id, neighbor_id, cos_sim, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id) AS rank
+              FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+              WHERE q.vec_id < 5) t
+            WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+        "embedding_dup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99
+            ORDER BY id_a, id_b
+        """,
+    }

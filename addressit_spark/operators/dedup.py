@@ -1,0 +1,313 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale posture per operator:
+
+* **exact** — one hash-groupBy shuffle; the canonical first pass at 100 TB.
+* **n-gram Jaccard** — exact set similarity via distinct-shingle explode +
+  shingle equi-join; cost ∝ Σ (docs per shingle)²; correct but quadratic on
+  stop-shingles, so it is the *verifier* for candidates, not the discovery
+  path at scale.
+* **MinHash+LSH** — the discovery path: k permutation min-hashes per doc
+  (all JVM-side agg expressions), banded into b buckets; docs sharing a band
+  bucket become candidates; estimated Jaccard = fraction of agreeing
+  minhashes (zip_with, JVM). One explode-shuffle + one band-join shuffle,
+  both on hashed (uniform) keys — no skew amplification.
+* **SimHash** — 64-bit weighted-bit signature per doc (numpy kernel inside
+  mapInPandas, Arrow-batched); near-dups = Hamming ≤ d via pigeonhole band
+  join on 4×16-bit chunks.
+
+MinHash permutations use (aᵢ·h + bᵢ) mod p with p = 2³¹−1 (Mersenne) and
+aᵢ,bᵢ < p derived from a seeded BLAKE2 stream — products stay < 2⁶² so ANSI
+arithmetic cannot overflow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from addressit_spark.operators.text import tokens_col
+
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_params(k: int, seed: int) -> List[tuple]:
+    out = []
+    for i in range(k):
+        raw = hashlib.blake2b(b"minhash|%d|%d" % (seed, i), digest_size=16).digest()
+        a = int.from_bytes(raw[:8], "big") % (_MERSENNE_P - 1) + 1
+        b = int.from_bytes(raw[8:], "big") % _MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact duplicates → (text_hash, n_copies, min_doc_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group."""
+    ranked = df.withColumn("_h", F.md5(F.col(text_col))).withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_h").orderBy(id_col))
+    )
+    return ranked.where(F.col("_rn") == 1).drop("_h", "_rn")
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram shingles + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (empty-safe)."""
+    toks = tokens_col(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle, set_size) — one row per distinct shingle per doc."""
+    withs = df.select(
+        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), n).alias("sh")
+    ).where(F.size("sh") > 0)
+    return withs.select(
+        "doc_id", F.size("sh").alias("set_size"), F.explode("sh").alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs with J ≥ min_jaccard.
+
+    |A∩B| from the shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Canonical
+    (a < b) pair order. Quadratic in per-shingle doc frequency — cap or
+    pre-filter hot shingles upstream at very large scale.
+    """
+    s = shingle_table(df, n, text_col, id_col)
+    a = s.select(
+        F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = s.select(
+        F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= min_jaccard)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 64,
+    n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig: array<long>[k]) minhash signatures, all JVM-side.
+
+    Shingle → xxhash64 → k affine permutations mod 2³¹−1 → per-doc min of
+    each permutation (k partial-aggregating min() exprs — map-side combine).
+    """
+    params = _perm_params(k, seed)
+    s = shingle_table(df, n, text_col, id_col)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)).alias("h")
+    hashed = s.select("doc_id", h)
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
+                "m%d" % i
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col("m%d" % i) for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    min_est_jaccard: float = 0.5,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH-banded near-dup pairs with estimated Jaccard ≥ threshold.
+
+    b bands × r = k/b rows; P(candidate) = 1−(1−J^r)^b. Candidates from the
+    band-bucket join are verified by full-signature agreement (zip_with sum),
+    deduped across bands by groupBy on the pair.
+    """
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(df, k, n, seed, text_col, id_col)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(k))
+    return cand.select(
+        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= min_est_jaccard)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+)
+
+
+def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc — numpy kernel over Arrow batches.
+
+    Token hashes via BLAKE2 (stable across processes); each token votes ±1
+    per bit; sign of the vote sum forms the signature.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            texts = pdf[text_col].fillna("").str.lower().str.split()
+            for row_i, toks in enumerate(texts):
+                if not toks:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                        )
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                votes = np.where(
+                    (hs[:, None] >> bits[None, :]) & np.uint64(1), 1, -1
+                ).sum(axis=0)
+                sig = np.uint64(0)
+                for bit_idx in np.nonzero(votes > 0)[0]:
+                    sig |= np.uint64(1) << np.uint64(bit_idx)
+                out[row_i] = np.int64(sig.astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs at Hamming ≤ max_hamming via 4×16-bit pigeonhole bands.
+
+    With 4 bands, any pair within Hamming ≤ 3 agrees on ≥ 1 full band —
+    the classic Charikar trick; candidates verified with bit_count exactly.
+    """
+    sh = simhash_table(df, text_col, id_col)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
+    )
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

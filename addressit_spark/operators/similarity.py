@@ -1,0 +1,214 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query set
+  against the full vector table; dot products via ``zip_with``/``aggregate``
+  (JVM, codegen — no Python in the loop); per-query top-k via window rank.
+  The correctness baseline, and the right plan whenever |queries| is small.
+* ``lsh_topk`` — the scale path: random-hyperplane LSH signatures bucket the
+  vectors; each query probes only its own bucket(s) (multi-probe over the
+  nearest band variants), turning O(|Q|·N) into O(|Q|·N/2^bits) with recall
+  traded by number of probes/tables. Hyperplanes derive from a seeded BLAKE2
+  stream → deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_col(vec: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def _dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return F.round(_dot_col(a, b) / (_norm_col(a) * _norm_col(b)), 6)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    ``queries`` must be small (it is broadcast). Self-matches excluded.
+    Deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        base.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> List[List[float]]:
+    """Deterministic unit hyperplanes from a BLAKE2-seeded Gaussian stream."""
+    raw = b""
+    i = 0
+    need = dim * bits * 8
+    while len(raw) < need:
+        raw += hashlib.blake2b(b"lsh|%d|%d" % (seed, i), digest_size=64).digest()
+        i += 1
+    ints = np.frombuffer(raw[:need], dtype=np.uint64).astype(np.float64)
+    u = (ints / 2.0**64).reshape(bits, dim)
+    # Box-Muller on consecutive uniforms (pair within each row, wrap-safe)
+    u1 = np.clip(u, 1e-12, 1 - 1e-12)
+    u2 = np.roll(u1, 1, axis=1)
+    g = np.sqrt(-2 * np.log(u1)) * np.cos(2 * math.pi * u2)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in g]
+
+
+def lsh_signature_col(vec: Column, planes: List[List[float]]) -> Column:
+    """Pack sign(vec·plane_i) into a long bucket id — pure column exprs."""
+    bits = [
+        F.when(
+            _dot_col(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for b in bits:
+        sig = sig * 2 + b
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    dim: Optional[int] = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane bucketing.
+
+    With ``probes > 1`` each query additionally probes the buckets at
+    Hamming distance 1 from its own signature (multi-probe LSH), trading
+    compute for recall without more tables.
+    """
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    planes = _hyperplanes(dim, bits, seed)
+
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    qsig = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    if probes <= 1:
+        qprobe = qsig.select("query_id", "qvec", F.col("sig").alias("bucket"))
+    else:
+        flips = min(probes - 1, bits)
+        variants = F.array(
+            F.col("sig"),
+            *[
+                F.col("sig").bitwiseXOR(F.lit(1 << i))
+                for i in range(flips)
+            ],
+        )
+        qprobe = qsig.select(
+            "query_id", "qvec", F.explode(variants).alias("bucket")
+        )
+
+    scored = (
+        base.join(F.broadcast(qprobe), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    min_cos: float = 0.95,
+    bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
+
+    Vectors with cos ≥ min_cos almost always share a bucket at modest
+    ``bits``; candidates are verified with the exact cosine. The bucket
+    self-join shuffles on uniform hashed keys — no skew amplification.
+    """
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    planes = _hyperplanes(int(first["d"]), bits, seed)
+    sig = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = sig.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    b = sig.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_col(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cos)
+        .distinct()
+    )

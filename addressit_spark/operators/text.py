@@ -1,0 +1,129 @@
+"""Text-analysis operators over the documents table.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen); the only Python is the language-ID kernel, which runs
+as an Arrow-batched pandas UDF. Designed for the flat driver shape
+``documents(doc_id, text, lang, source, n_chars)`` but any (id, text) works.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# A small function-word list (shared with the DuckDB oracle SQL verbatim).
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization with empties dropped (split on runs)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add token_count / char_count / avg_token_len / stopword_ratio."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    return (
+        df.withColumn("token_count", n)
+        .withColumn("char_count", F.length(F.col(text_col)))
+        .withColumn(
+            "avg_token_len",
+            F.when(
+                n > 0,
+                F.round(
+                    F.aggregate(
+                        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+                    )
+                    / n,
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n > 0, F.round(n_stop.cast("double") / n, 4)).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1] from length/stopword/shape signals.
+
+    Heuristics in the Gopher/C4 style: prefer documents with a healthy token
+    count, moderate mean token length, and some function-word mass. Pure
+    column expressions — no UDF.
+    """
+    d = with_token_stats(df, text_col)
+    len_ok = F.when(
+        (F.col("token_count") >= 5) & (F.col("token_count") <= 5000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    tok_ok = F.when(
+        (F.col("avg_token_len") >= 2.0) & (F.col("avg_token_len") <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    stop_ok = F.when(F.col("stopword_ratio") >= 0.02, F.lit(1.0)).otherwise(F.lit(0.0))
+    return d.withColumn(
+        "quality_score", F.round((len_ok + tok_ok + stop_ok) / 3.0, 4)
+    )
+
+
+# --- language ID (n-gram heuristic; pandas UDF → rows-only driver check) ---
+
+# Minimal character-trigram profiles per language; deterministic and
+# self-contained (a real system would load trained profiles).
+_LANG_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "ent", " th", "he ", "er ", "on ", "re "],
+    "de": ["der", "die", "und", "sch", "ein", "ich", "en ", "ch ", "nd ", "ung"],
+    "es": ["que", "ión", "los", "ent", "de ", "la ", "el ", "os ", "as ", "ara"],
+    "fr": ["les", "ent", "que", "des", "ion", "de ", "le ", "es ", "re ", "ais"],
+    "zh": [],  # CJK detection is unicode-range-based below
+}
+
+
+def _lang_id_kernel(text: str) -> str:
+    if not text:
+        return "und"
+    n_cjk = sum(1 for c in text if "一" <= c <= "鿿")
+    if n_cjk > len(text) * 0.2:
+        return "zh"
+    low = text.lower()
+    best, best_score = "und", 0
+    for lang, grams in _LANG_PROFILES.items():
+        score = sum(low.count(g) for g in grams)
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+@pandas_udf(StringType())
+def lang_id_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for texts in batches:
+        yield texts.map(lambda t: _lang_id_kernel(t) if t is not None else "und")
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", lang_id_udf(F.col(text_col)))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: normalized-text hash + first/last shingle hashes.
+
+    ``fp64`` is the exact-dup key on normalized text (case/whitespace/punct
+    folded); ``fp_prefix``/``fp_suffix`` catch head/tail containment. All
+    JVM-side (xxhash64 + regexp), no Python.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"[^\p{L}\p{N}]+", " "))
+    norm = F.trim(norm)
+    return (
+        df.withColumn("fp64", F.xxhash64(norm))
+        .withColumn("fp_prefix", F.xxhash64(F.substring(norm, 1, 64)))
+        .withColumn("fp_suffix", F.xxhash64(F.substring(F.reverse(norm), 1, 64)))
+    )

@@ -106,7 +106,11 @@ def make_parse_udf(locale: str = "en-US"):
                 ],
             )
 
-    return parse_address
+    # The kernel IS deterministic; this flag only stops Catalyst from
+    # duplicating the (expensive) UDF when a downstream filter references
+    # address.* — otherwise the plan evaluates the parse twice (once inside
+    # the pushed-down filter, once for the projection).
+    return parse_address.asNondeterministic()
 
 
 def explode_spans(documents: DataFrame) -> DataFrame:

@@ -1,0 +1,89 @@
+"""Replicates the driver's verify: queries() vs oracle_sql() via DuckDB.
+
+For every oracle-backed query: run the Spark DataFrame and the DuckDB SQL
+side-by-side at sf0.01 and require identical row count, column set, and
+values (order-insensitive). Rows-only queries are executed for ≥0 rows and
+a stable schema. ``entry(spark)`` is smoke-checked like the driver does.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t + '.parquet')}'"
+        )
+    return con
+
+
+def _norm_value(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_value(x) for x in v)
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm_value(r[i]) for i in order))
+    return sorted(cols), sorted(out, key=repr)
+
+
+ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
+ROWS_ONLY_NAMES = sorted(set(entry_mod.queries()) - set(ORACLE_NAMES))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+
+    sc, sr = _norm_rows(spark_cols, spark_rows)
+    dc, dr = _norm_rows(duck_cols, duck_rows)
+    assert sc == dc, (name, sc, dc)
+    assert len(sr) == len(dr), (name, len(sr), len(dr))
+    mismatches = [(a, b) for a, b in zip(sr, dr) if a != b]
+    assert not mismatches, (name, mismatches[:5])
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_query_runs(spark, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = {r["metric"]: r["value"] for r in df.collect()}
+    assert rows["sf0001_documents_rows"] > 0
+    assert rows["er_pairwise_f1"] >= 0.99

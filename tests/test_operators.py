@@ -1,0 +1,136 @@
+"""Operator-quality tests: dedup recall, ANN recall, multimodal plumbing."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from addressit_spark.operators.dedup import (
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from addressit_spark.operators.multimodal import (
+    decode_and_featurize,
+    media_spans,
+    with_media_meta,
+)
+from addressit_spark.operators.similarity import brute_force_topk, lsh_topk
+from addressit_spark.operators.text import with_lang_id
+from addressit_spark.parse_stage import normalize_documents
+from addressit_spark.sources.corpus import documents_view, synth_corpus
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Documents with planted near-duplicates (suffix edits)."""
+    base = [
+        "the quick brown fox jumps over the lazy dog near the old river bank every single morning",
+        "a completely different document about training data pipelines at massive scale with spark",
+        "yet another text concerning entity resolution blocking scoring and transitive clustering",
+        "language identification quality scoring token counting and document fingerprinting operators",
+    ]
+    rows = []
+    did = 0
+    for b in base:
+        for suffix in ["", "", " extra", " extra words appended here"]:
+            rows.append((did, b + suffix))
+            did += 1
+    # unrelated fillers
+    for i in range(40):
+        rows.append((did, "filler doc %d with entirely unrelated tokens alpha%d beta%d gamma%d" % (i, i, i * 7, i * 13)))
+        did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, dup_docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(dup_docs, n=3, min_jaccard=0.7).collect()
+    }
+    assert exact, "planted dups must yield high-jaccard pairs"
+    est = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dup_pairs(dup_docs, k=64, bands=16, min_est_jaccard=0.5).collect()
+    }
+    recall = len(exact & est) / len(exact)
+    assert recall >= 0.9, (recall, exact - est)
+
+
+def test_minhash_estimate_tracks_exact(spark, dup_docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_docs, n=3, min_jaccard=0.3).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_dup_pairs(dup_docs, k=64, bands=16, min_est_jaccard=0.2).collect()
+    }
+    common = set(exact) & set(est)
+    assert common
+    for k in common:
+        assert abs(exact[k] - est[k]) < 0.3, (k, exact[k], est[k])
+
+
+def test_simhash_exact_dups_are_hamming_zero(spark, dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dup_pairs(dup_docs, max_hamming=10).collect()
+    }
+    # doc 0/1 (and 4/5, 8/9, 12/13) are byte-identical → hamming 0
+    for a, b in [(0, 1), (4, 5), (8, 9), (12, 13)]:
+        assert pairs.get((a, b)) == 0, (a, b, pairs.get((a, b)))
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = lsh_topk(emb, queries, k=10, bits=6, probes=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall  # random-ish vectors: weak but nonzero signal
+    # every approx hit must carry the same score as exact computation
+    assert approx.where(F.col("cos_sim").isNull()).count() == 0
+
+
+def test_media_meta_and_features(spark):
+    spans = normalize_documents(documents_view(synth_corpus(spark, 120, seed=42)))
+    m = media_spans(spans)
+    n_media = m.count()
+    assert n_media > 0
+    meta = with_media_meta(spans)
+    assert meta.count() == n_media
+    img = meta.where(F.col("kind") == "image")
+    assert img.where(F.col("width").isNull() | F.col("height").isNull()).count() == 0
+    assert meta.where(F.col("n_bytes") <= 0).count() == 0
+
+    feats = decode_and_featurize(spans, stub=True)
+    rows = feats.limit(5).collect()
+    assert all(len(r["feature"]) == 32 for r in rows)
+    assert all(len(r["payload"]) == 256 for r in rows)
+    # determinism: same media_ref → same payload
+    one = feats.where(F.col("media_ref") == rows[0]["media_ref"]).collect()[0]
+    assert bytes(one["payload"]) == bytes(rows[0]["payload"])
+
+
+def test_decode_strict_mode_raises(spark):
+    spans = normalize_documents(documents_view(synth_corpus(spark, 10, seed=42)))
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc:
+        decode_and_featurize(spans, stub=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "decode" in str(exc.value)
+
+
+def test_lang_id_on_real_phrases(spark):
+    rows = [
+        (1, "the cat and the dog were running through the garden in the morning"),
+        (2, "der hund und die katze laufen schnell durch den garten und singen"),
+        (3, "这是一个中文文档的例子 我们用它来测试语言识别"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "zh"
