@@ -55,8 +55,11 @@ class StageStore:
     ) -> DataFrame:
         """Compute-or-reload one stage; record lineage metrics either way."""
         if self.base_dir is None:
-            df = fn()
-            self.lineage[stage] = {"resumed": False, "materialized": False}
+            # No snapshot dir: pin each stage with an eager localCheckpoint so
+            # downstream self-joins (pair generation, CC) read materialized
+            # blocks instead of re-running the parse/score subtree per branch.
+            df = fn().localCheckpoint(eager=True)
+            self.lineage[stage] = {"resumed": False, "materialized": "localCheckpoint"}
             return df
 
         path = os.path.join(self.base_dir, stage)

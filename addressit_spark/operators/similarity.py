@@ -22,6 +22,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from addressit_spark.util import ensure_parallelism, reuse
+
 
 def _norm_col(vec: Column) -> Column:
     return F.sqrt(
@@ -56,7 +58,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    base = embeddings.select(
+    base = ensure_parallelism(embeddings.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
     scored = (
@@ -132,7 +134,7 @@ def lsh_topk(
         dim = int(first["d"])
     planes = _hyperplanes(dim, bits, seed)
 
-    base = embeddings.select(
+    base = ensure_parallelism(embeddings.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
         lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
@@ -194,10 +196,14 @@ def embedding_near_dup_pairs(
     """
     first = embeddings.select(F.size(vec_col).alias("d")).first()
     planes = _hyperplanes(int(first["d"]), bits, seed)
-    sig = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
+    # signatures cost bits×dim mults per row — materialize once for both
+    # self-join branches, on a widened scan
+    sig = reuse(
+        ensure_parallelism(embeddings.select(id_col, vec_col)).select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
+        )
     )
     a = sig.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
     b = sig.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")

@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 )
 
 from addressit_spark.kernel import parse
+from addressit_spark.util import ensure_parallelism
 
 ADDRESS_SCHEMA = StructType(
     [
@@ -151,7 +152,7 @@ def parse_spans(documents: DataFrame, locale: str = "en-US") -> DataFrame:
     Only ``doc_id/pos/kind/text/media_ref/offset`` plus the parse input are
     read — keep projections narrow so parquet column pruning bites.
     """
-    spans = normalize_documents(documents)
+    spans = ensure_parallelism(normalize_documents(documents))
     parse_udf = make_parse_udf(locale)
     # Feed NULL for media spans so the kernel short-circuits instead of the
     # plan computing the UDF on every row and masking afterwards.

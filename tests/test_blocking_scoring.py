@@ -12,7 +12,13 @@ from addressit_spark.blocking import (
     candidate_pairs_unsalted,
 )
 from addressit_spark.parse_stage import parse_spans
-from addressit_spark.scoring import DEFAULT_TAU, jaro_winkler, score_pair_py, score_pairs
+from addressit_spark.scoring import (
+    DEFAULT_TAU,
+    jaro_winkler,
+    jaro_winkler_batch,
+    score_pair_py,
+    score_pairs,
+)
 from addressit_spark.sources.corpus import documents_view, render_variant, synth_corpus
 
 
@@ -57,6 +63,31 @@ def test_jaro_winkler_matches_duckdb():
                 "select jaro_winkler_similarity(?, ?)", [a, b]
             ).fetchone()[0]
             assert abs(got - want) < 1e-9, (a, b, got, want)
+
+
+def test_jaro_winkler_batch_matches_scalar():
+    """Vectorized kernel is bit-identical to the scalar (DuckDB-pinned) one."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ '-0123456789"
+    words = [
+        "", "A", "AB", "MELBOURNE", "MELBORNE", "ROBINSON ROAD", "ROBINSON RD",
+        "MARTHA", "MARHTA", "DWAYNE", "DUANE", "DIXON", "DICKSONX",
+        "NORTHERN MARIANA ISLANDS",
+    ] + [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 24)))
+        for _ in range(120)
+    ]
+    pairs_a, pairs_b = [], []
+    for a in words:
+        for b in words:
+            pairs_a.append(a)
+            pairs_b.append(b)
+    got = jaro_winkler_batch(pairs_a, pairs_b)
+    for i, (a, b) in enumerate(zip(pairs_a, pairs_b)):
+        want = jaro_winkler(a, b)
+        assert got[i] == want, (a, b, got[i], want)
 
 
 def test_score_separation():
