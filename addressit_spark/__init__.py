@@ -7,6 +7,6 @@ transitive clustering, plus the training-data-pipeline operator suite
 (dedup, similarity search, text analysis, multimodal plumbing).
 """
 
-from addressit_spark.kernel import parse, parse_to_row, LOCALES  # noqa: F401
+from addressit_spark.kernel import parse, parse_to_row, to_string, LOCALES  # noqa: F401
 
 __version__ = "0.1.0"

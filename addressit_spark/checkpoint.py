@@ -52,12 +52,23 @@ class StageStore:
         stage: str,
         fn: Callable[[], DataFrame],
         input_fingerprint: str = "",
+        materialize: bool = True,
     ) -> DataFrame:
-        """Compute-or-reload one stage; record lineage metrics either way."""
+        """Compute-or-reload one stage; record lineage metrics either way.
+
+        ``materialize=False`` marks a high-volume pass-through stage (e.g.
+        the 10^12-scale candidate-pair table): it is fused into its consumer
+        instead of being pinned — when a snapshot dir is set it is still
+        written, because snapshots are the resume contract.
+        """
         if self.base_dir is None:
-            # No snapshot dir: pin each stage with an eager localCheckpoint so
-            # downstream self-joins (pair generation, CC) read materialized
-            # blocks instead of re-running the parse/score subtree per branch.
+            if not materialize:
+                df = fn()
+                self.lineage[stage] = {"resumed": False, "materialized": False}
+                return df
+            # Pin with an eager localCheckpoint so downstream self-joins
+            # (pair generation, CC) read materialized blocks instead of
+            # re-running the parse/score subtree per branch.
             df = fn().localCheckpoint(eager=True)
             self.lineage[stage] = {"resumed": False, "materialized": "localCheckpoint"}
             return df

@@ -527,3 +527,23 @@ def parse_to_row(text: Optional[str], locale: str = "en-US") -> tuple:
         return (None, None, None, None, None, None, None, None)
     rec = parse(text, locale)
     return tuple(rec[f] for f in ADDRESS_FIELDS)
+
+
+def to_string(record: Dict[str, object]) -> str:
+    """Format a parsed record — O17, /root/reference/address.js:313-328.
+
+    The reference emits ``[number ]street\\n`` when a street exists, then
+    ``regions joined by ', ' + '\\n'`` unconditionally. (Its ``building``
+    field is never set by any parser stage, so that branch is dead code.)
+    ``number`` is '' for street-without-number (Q3) — falsy, so no prefix,
+    exactly like the reference's ternary.
+    """
+    out = ""
+    street = record.get("street")
+    if street:
+        number = record.get("number")
+        out += "%s " % number if number else ""
+        out += "%s\n" % street
+    regions = record.get("regions") or []
+    out += ", ".join(regions) + "\n"
+    return out

@@ -312,11 +312,19 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def simhash_dup_pairs(
     df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup pairs at Hamming ≤ max_hamming via 4×16-bit pigeonhole bands.
+    """Near-dup pairs at Hamming ≤ max_hamming via pigeonhole band join.
 
-    With 4 bands, any pair within Hamming ≤ 3 agrees on ≥ 1 full band —
-    the classic Charikar trick; candidates verified with bit_count exactly.
+    The 64-bit signature is split into ``max_hamming + 1`` bands: any pair
+    within the radius agrees on ≥ 1 full band (pigeonhole — the classic
+    Charikar construction), so the band-bucket equi-join finds EVERY such
+    pair; candidates are then verified exactly with ``bit_count``. Smaller
+    radius → fewer, wider bands → fewer bucket collisions; the caller's
+    radius controls the recall/cost trade directly.
     """
+    n_bands = min(max_hamming + 1, 16)
+    # split 64 bits as evenly as possible (e.g. 7 bands → 10,9,9,9,9,9,9)
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     sh = reuse(simhash_table(df, text_col, id_col))
     banded = sh.select(
         "doc_id",
@@ -324,8 +332,10 @@ def simhash_dup_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+                        F.lit((1 << widths[i]) - 1)
+                    )
+                    for i in range(n_bands)
                 ]
             )
         ).alias("band", "chunk"),

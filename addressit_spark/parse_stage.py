@@ -162,6 +162,32 @@ def parse_spans(documents: DataFrame, locale: str = "en-US") -> DataFrame:
     )
 
 
+def format_address_col(a: "F.col") -> "F.col":
+    """Column-expression twin of ``kernel.to_string`` (O17,
+    /root/reference/address.js:313-328): ``[number ]street\\n`` when a street
+    was extracted (falsy '' number omitted — Q3), then regions joined by
+    ', ' + '\\n'. Pure JVM expressions — usable in the hot path.
+    """
+    street_part = F.when(
+        a.getField("street").isNotNull() & (a.getField("street") != ""),
+        F.concat(
+            F.when(
+                a.getField("number").isNotNull() & (a.getField("number") != ""),
+                F.concat(a.getField("number"), F.lit(" ")),
+            ).otherwise(F.lit("")),
+            a.getField("street"),
+            F.lit("\n"),
+        ),
+    ).otherwise(F.lit(""))
+    regions_part = F.concat(
+        F.concat_ws(
+            ", ", F.coalesce(a.getField("regions"), F.array().cast("array<string>"))
+        ),
+        F.lit("\n"),
+    )
+    return F.concat(street_part, regions_part)
+
+
 def reassemble(spans: DataFrame) -> DataFrame:
     """Rebuild (doc_id, spans[]) from exploded spans, ordered by pos.
 

@@ -65,7 +65,9 @@ def run_pipeline(
         pairs_holder["dropped"] = dropped
         return p
 
-    pairs = store.run("pairs", _pairs, input_fingerprint)
+    # pairs/scored are the 10^12-scale volumes: fused into the scoring pass
+    # (never pinned) unless a snapshot dir makes them resume points.
+    pairs = store.run("pairs", _pairs, input_fingerprint, materialize=False)
     dropped = pairs_holder.get("dropped")
     if dropped is None:
         # resumed run: recompute the (tiny) dropped-block metric table
@@ -73,7 +75,12 @@ def run_pipeline(
 
         _, dropped = _cp(addresses, heavy_threshold=heavy_threshold)
 
-    scored = store.run("scored", lambda: score_pairs(pairs), input_fingerprint)
+    scored = store.run(
+        "scored",
+        lambda: score_pairs(pairs, dims_from=addresses),
+        input_fingerprint,
+        materialize=False,
+    )
     edges = store.run("edges", lambda: match_edges(scored, tau), input_fingerprint)
     clusters = store.run(
         "clusters",

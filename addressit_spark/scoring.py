@@ -247,21 +247,167 @@ SCORED_SCHEMA = StructType(
 )
 
 
-def score_pairs(pairs: DataFrame) -> DataFrame:
-    """Arrow-batched scoring of the candidate-pair table → (uid_a, uid_b, score)."""
+def _jw_dict_memo(col_a, col_b) -> np.ndarray:
+    """Jaro-Winkler over two pyarrow string arrays via dictionary memoization.
 
-    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    The pair key (a ++ \\x01 ++ b) is dictionary-encoded *inside Arrow*, so
+    only the UNIQUE string pairs are ever materialized as Python objects —
+    the per-row cost is an int32 gather. Within a block all pairs share a
+    handful of street/locality surfaces, so uniques ≪ rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    a = pc.fill_null(col_a, "")
+    b = pc.fill_null(col_b, "")
+    key = pc.binary_join_element_wise(a, b, "\x01")
+    enc = pc.dictionary_encode(key)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniques = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    ua: List[str] = []
+    ub: List[str] = []
+    for u in uniques:
+        x, _, y = u.partition("\x01")
+        ua.append(x)
+        ub.append(y)
+    return jaro_winkler_batch(ua, ub)[codes]
+
+
+def jw_pairs_table(pairs_of_strings: DataFrame) -> DataFrame:
+    """(a, b) string pairs → (a, b, jw) via the vectorized kernel.
+
+    Runs as ``mapInArrow`` over what should be a *small* distinct-pair set;
+    the dictionary memo inside makes repeated surfaces free.
+    """
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            jw_street = _jw_memo(pdf["street_norm_a"], pdf["street_norm_b"])
-            jw_loc = _jw_memo(pdf["locality_a"], pdf["locality_b"])
-            num_eq = (
-                pdf["number_a"].fillna("") == pdf["number_b"].fillna("")
-            ).to_numpy()
-            a_null = pdf["unit_a"].isna().to_numpy()
-            b_null = pdf["unit_b"].isna().to_numpy()
-            unit_eq = (pdf["unit_a"].fillna("") == pdf["unit_b"].fillna("")).to_numpy()
+            jw = _jw_dict_memo(batch.column("a"), batch.column("b"))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("a"), batch.column("b"), pa.array(jw, type=pa.float64())],
+                names=["a", "b", "jw"],
+            )
+
+    return pairs_of_strings.mapInArrow(kernel, schema="a string, b string, jw double")
+
+
+def _num_eq_col() -> "F.Column":
+    # (number_a or "") == (number_b or "") — Python `or` folds None and ''
+    return F.coalesce(F.col("number_a"), F.lit("")) == F.coalesce(
+        F.col("number_b"), F.lit("")
+    )
+
+
+def _unit_sim_col() -> "F.Column":
+    return (
+        F.when(F.col("unit_a").isNull() & F.col("unit_b").isNull(), F.lit(1.0))
+        .when(F.col("unit_a").isNull() | F.col("unit_b").isNull(), F.lit(0.5))
+        .when(F.col("unit_a") == F.col("unit_b"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def score_pairs(pairs: DataFrame, dims_from: Optional[DataFrame] = None) -> DataFrame:
+    """Score the candidate-pair table → (uid_a, uid_b, block_key, score).
+
+    **Surface-factored plan** (the 10^12-pair design): the expensive terms
+    — Jaro-Winkler on street and locality — depend only on the string pair,
+    and blocks repeat a handful of surfaces, so JW is computed once per
+    DISTINCT surface pair in a tiny Python job and broadcast-joined back;
+    number/unit similarity and the weighted sum are pure JVM expressions.
+    The bulk pair table never crosses into Python at all — measured
+    memory-bandwidth-bound at ~19M pairs when it did (flat scaling beyond 8
+    cores), vs a codegen'd broadcast hash join that scales linearly.
+
+    ``dims_from``: the addresses table (block_key, street_norm, locality);
+    when given, surface pairs are derived from per-block surface crosses on
+    that (already materialized) table instead of re-deriving the pair join.
+    Float semantics are bit-identical to ``score_pair_py`` (same kernel JW
+    doubles, same IEEE accumulation order).
+    """
+    if dims_from is not None:
+        s = dims_from.select("block_key", "street_norm").distinct()
+        sd = (
+            s.select("block_key", F.col("street_norm").alias("a"))
+            .join(s.select("block_key", F.col("street_norm").alias("b")), "block_key")
+            .select("a", "b")
+            .distinct()
+        )
+        l = dims_from.select("block_key", "locality").distinct()
+        ld = (
+            l.select("block_key", F.col("locality").alias("a"))
+            .join(l.select("block_key", F.col("locality").alias("b")), "block_key")
+            .select("a", "b")
+            .distinct()
+        )
+    else:
+        sd = pairs.select(
+            F.col("street_norm_a").alias("a"), F.col("street_norm_b").alias("b")
+        ).distinct()
+        ld = pairs.select(
+            F.col("locality_a").alias("a"), F.col("locality_b").alias("b")
+        ).distinct()
+
+    sj = jw_pairs_table(sd).select(
+        F.col("a").alias("street_norm_a"),
+        F.col("b").alias("street_norm_b"),
+        F.col("jw").alias("_jw_street"),
+    )
+    lj = jw_pairs_table(ld).select(
+        F.col("a").alias("locality_a"),
+        F.col("b").alias("locality_b"),
+        F.col("jw").alias("_jw_loc"),
+    )
+    p = pairs.join(F.broadcast(sj), ["street_norm_a", "street_norm_b"]).join(
+        F.broadcast(lj), ["locality_a", "locality_b"]
+    )
+    score = (
+        F.lit(W_STREET) * F.col("_jw_street")
+        + F.lit(W_LOCALITY) * F.col("_jw_loc")
+        + F.when(_num_eq_col(), F.lit(W_NUMBER)).otherwise(F.lit(0.0))
+        + F.lit(W_UNIT) * _unit_sim_col()
+    )
+    return p.select("uid_a", "uid_b", "block_key", score.alias("score"))
+
+
+def score_pairs_arrow(pairs: DataFrame) -> DataFrame:
+    """Direct Arrow-batched scoring (every pair row through Python).
+
+    Kept as the fallback/verification path: ``mapInArrow`` with the
+    dictionary memo — correct at any scale but moves the whole pair table
+    across the JVM↔Python boundary; use :func:`score_pairs` in pipelines.
+    """
+
+    def score_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            jw_street = _jw_dict_memo(
+                batch.column("street_norm_a"), batch.column("street_norm_b")
+            )
+            jw_loc = _jw_dict_memo(
+                batch.column("locality_a"), batch.column("locality_b")
+            )
+            num_a = pc.fill_null(batch.column("number_a"), "")
+            num_b = pc.fill_null(batch.column("number_b"), "")
+            num_eq = pc.equal(num_a, num_b).to_numpy(zero_copy_only=False)
+            unit_a = batch.column("unit_a")
+            unit_b = batch.column("unit_b")
+            a_null = pc.is_null(unit_a).to_numpy(zero_copy_only=False)
+            b_null = pc.is_null(unit_b).to_numpy(zero_copy_only=False)
+            unit_eq = pc.equal(
+                pc.fill_null(unit_a, ""), pc.fill_null(unit_b, "")
+            ).to_numpy(zero_copy_only=False)
             unit_sim = np.where(
                 a_null & b_null,
                 1.0,
@@ -272,16 +418,17 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
             scores = scores + W_LOCALITY * jw_loc
             scores = scores + np.where(num_eq, W_NUMBER, 0.0)
             scores = scores + W_UNIT * unit_sim
-            yield pd.DataFrame(
-                {
-                    "uid_a": pdf["uid_a"],
-                    "uid_b": pdf["uid_b"],
-                    "block_key": pdf["block_key"],
-                    "score": scores,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("uid_a"),
+                    batch.column("uid_b"),
+                    batch.column("block_key"),
+                    pa.array(scores, type=pa.float64()),
+                ],
+                names=["uid_a", "uid_b", "block_key", "score"],
             )
 
-    return pairs.mapInPandas(score_batches, schema=SCORED_SCHEMA)
+    return pairs.mapInArrow(score_batches, schema=SCORED_SCHEMA)
 
 
 def match_edges(scored: DataFrame, tau: float = DEFAULT_TAU) -> DataFrame:

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition only if the plan is narrower than the cores."""
+    if df.isStreaming:  # micro-batch sizing is the stream scheduler's job
+        return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

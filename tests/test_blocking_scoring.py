@@ -112,6 +112,17 @@ def test_score_separation():
     assert s < DEFAULT_TAU, s
 
 
+def test_surface_factored_equals_arrow_path(spark, addresses):
+    """score_pairs (broadcast-joined surface JW) == score_pairs_arrow, bitwise."""
+    from addressit_spark.scoring import score_pairs_arrow
+
+    pairs, _ = candidate_pairs(addresses)
+    pairs = pairs.localCheckpoint()
+    a = {(r["uid_a"], r["uid_b"]): r["score"] for r in score_pairs(pairs, dims_from=addresses).collect()}
+    b = {(r["uid_a"], r["uid_b"]): r["score"] for r in score_pairs_arrow(pairs).collect()}
+    assert a == b and len(a) == pairs.count()
+
+
 def test_spark_scoring_matches_kernel(spark, addresses):
     pairs, _ = candidate_pairs(addresses)
     scored = score_pairs(pairs).cache()
