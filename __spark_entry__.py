@@ -184,6 +184,36 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join — the resume-subtraction primitive (SURVEY §2.9 semi/anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region → nation → total) over order revenue."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_token_stats(_t(spark, sf_dir, "documents"))
     return (
@@ -384,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "events_user_top": q_events_user_top,
         "events_hourly": q_events_hourly,
+        "customers_without_orders": q_customers_without_orders,
+        "revenue_rollup": q_revenue_rollup,
         # text analysis (SQL oracles)
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -471,6 +503,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             ORDER BY hour, event_type
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "revenue_rollup": """
+            SELECT r_name, n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
         """,
         "doc_token_stats": f"""
             WITH t AS (

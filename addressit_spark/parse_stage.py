@@ -115,12 +115,20 @@ def make_parse_udf(locale: str = "en-US"):
 
 
 def explode_spans(documents: DataFrame) -> DataFrame:
-    """Flatten the nested documents shape, keeping span order in ``pos``."""
+    """Flatten the nested documents shape, keeping span order in ``pos``.
+
+    Document-level metadata columns beyond (doc_id, spans) — e.g. an
+    ``ingest_ts`` event-time column in the streaming surface — pass through
+    onto every span row.
+    """
+    extra = [c for c in documents.columns if c not in ("doc_id", "spans")]
     return documents.select(
         "doc_id",
+        *extra,
         F.posexplode("spans").alias("pos", "span"),
     ).select(
         "doc_id",
+        *extra,
         "pos",
         F.col("span.kind").alias("kind"),
         F.col("span.text").alias("text"),

@@ -294,7 +294,12 @@ def jw_pairs_table(pairs_of_strings: DataFrame) -> DataFrame:
                 names=["a", "b", "jw"],
             )
 
-    return pairs_of_strings.mapInArrow(kernel, schema="a string, b string, jw double")
+    # AQE coalesces the (small) distinct-pair shuffle to one partition,
+    # which would serialize the JW kernel — spread it across the cores.
+    spread = pairs_of_strings.repartition(
+        pairs_of_strings.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInArrow(kernel, schema="a string, b string, jw double")
 
 
 def _num_eq_col() -> "F.Column":

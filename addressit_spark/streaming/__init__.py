@@ -1,0 +1,7 @@
+from addressit_spark.streaming.incremental import (  # noqa: F401
+    running_block_counts,
+    stream_documents,
+    streaming_block_stats,
+    streaming_exact_dedup,
+    streaming_parse,
+)

@@ -1,0 +1,180 @@
+"""Structured Streaming surface: incremental parse, dedup, block stats.
+
+The reference is purely synchronous batch (no streaming anywhere), so this
+module is the Spark-native *extension* a continuously-ingesting address
+pipeline needs: the same parse pandas UDF runs unchanged inside micro-batches
+(``parse_spans`` is stream-safe), late data is bounded with watermarks, and
+state is handled by the engine:
+
+* ``streaming_exact_dedup`` — watermark + ``dropDuplicates`` keyed on the
+  normalized text hash: engine-managed dedup state, expired by the watermark
+  (bounded memory at unbounded input).
+* ``streaming_block_stats`` — watermarked sliding-window counts per blocking
+  key: the skew diagnostic as a live metric.
+* ``running_block_counts`` — custom stateful operator via
+  ``applyInPandasWithState``: a running per-block span count + last-seen
+  timestamp, with explicit state timeout — the
+  pattern for any bespoke incremental ER state (e.g. per-block centroids).
+
+All operators take an ``ingest_ts`` timestamp column (event time). Tests
+drive them with ``trigger(availableNow=True)`` against parquet directories
+and compare to the batch answers — streaming/batch parity is the invariant.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from addressit_spark.parse_stage import DOCUMENTS_SCHEMA, parse_spans
+
+# documents(doc_id, spans) + event-time ingest_ts
+STREAM_SCHEMA = StructType(
+    list(DOCUMENTS_SCHEMA.fields) + [StructField("ingest_ts", TimestampType())]
+)
+
+
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over a documents parquet directory (input_hint shape + ts)."""
+    return spark.readStream.schema(STREAM_SCHEMA).parquet(path)
+
+
+def streaming_parse(documents: DataFrame, locale: str = "en-US") -> DataFrame:
+    """The batch parse stage, unchanged, inside micro-batches."""
+    return parse_spans(documents, locale)
+
+
+def streaming_exact_dedup(
+    documents: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Exact text dedup with engine-managed, watermark-expired state.
+
+    Keyed on md5 of the concatenated text spans; duplicates arriving within
+    the watermark horizon are dropped, state for older keys is reclaimed.
+    """
+    keyed = documents.withColumn(
+        "text_hash",
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.filter("spans", lambda s: s.getField("kind") == "text"),
+                    lambda s: s.getField("text"),
+                ),
+            )
+        ),
+    )
+    return keyed.withWatermark("ingest_ts", watermark).dropDuplicates(
+        ["text_hash"]
+    )
+
+
+def streaming_block_stats(
+    documents: DataFrame,
+    locale: str = "en-US",
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed block-key counts: the skew diagnostic as a live stream."""
+    addrs = _addresses_with_ts(streaming_parse(documents, locale))
+    return (
+        addrs.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("win"), "block_key")
+        .agg(F.count(F.lit(1)).alias("block_size"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "block_key",
+            "block_size",
+        )
+    )
+
+
+def _addresses_with_ts(parsed_spans: DataFrame) -> DataFrame:
+    """address_table projection that keeps the event-time column."""
+    a = parsed_spans.where(
+        (F.col("kind") == "text")
+        & F.col("address.street").isNotNull()
+        & (F.col("address.street") != "")
+        & (F.size("address.regions") > 0)
+    )
+    street_norm = F.upper(F.col("address.street"))
+    toks = F.split(street_norm, " ")
+    n = F.size(toks)
+    street_name = (
+        F.when(n > 1, F.concat_ws(" ", F.slice(toks, 1, n - 1)))
+        .otherwise(F.element_at(toks, 1))
+    )
+    locality = F.upper(F.element_at("address.regions", 1))
+    return a.select(
+        F.concat_ws("#", "doc_id", "pos").alias("uid"),
+        "ingest_ts",
+        F.concat_ws("|", street_name, F.soundex(locality)).alias("block_key"),
+    )
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("block_key", StringType()),
+        StructField("running_count", LongType()),
+        StructField("last_seen", TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("count", LongType())])
+
+
+def running_block_counts(
+    documents: DataFrame,
+    locale: str = "en-US",
+    timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful operator: running span count per blocking key.
+
+    ``applyInPandasWithState`` with processing-time timeout — the skeleton
+    for bespoke incremental ER state. Emits one row per (block, micro-batch)
+    with the cumulative count.
+    """
+    addrs = _addresses_with_ts(streaming_parse(documents, locale))
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_new = 0
+        last = None
+        for pdf in pdfs:
+            n_new += len(pdf)
+            m = pdf["ingest_ts"].max()
+            last = m if last is None else max(last, m)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + n_new
+        state.update((total,))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"block_key": [key[0]], "running_count": [total], "last_seen": [last]}
+        )
+
+    return addrs.groupBy("block_key").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

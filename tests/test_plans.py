@@ -1,0 +1,80 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, no cartesian.
+
+These don't run jobs — they inspect the optimized/physical plan strings so
+a regression that silently de-optimizes a scan (e.g. a filter that stops
+pushing down, a broadcast that becomes a sort-merge join) fails fast.
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_lines(plan: str):
+    return [ln for ln in plan.splitlines() if "FileScan" in ln or "PushedFilters" in ln]
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark):
+    df = entry_mod.queries()["pricing_summary"](spark, SF_DIR)
+    plan = df.explain  # noqa: B018 — keep lazy
+    full = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in full and "LessThan(l_quantity" in full, full[:2000]
+    # column pruning: the 16-col lineitem scan reads only the 4 needed cols
+    read_schema = [ln for ln in full.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_top_customers_broadcasts_customer(spark):
+    df = entry_mod.queries()["top_customers"](spark, SF_DIR)
+    full = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in full
+
+
+def test_regional_revenue_broadcasts_dims(spark):
+    df = entry_mod.queries()["regional_revenue"](spark, SF_DIR)
+    full = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert full.count("BroadcastHashJoin") >= 2  # nation + region at least
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Every oracle-backed query plans without a cartesian product.
+
+    (brute-force ANN intentionally uses BroadcastNestedLoopJoin on the tiny
+    broadcast query set — that is not a CartesianProduct.)
+    """
+    for name, q in entry_mod.queries().items():
+        if name in ("er_cluster_sizes", "er_block_histogram", "media_features",
+                    "media_meta", "frame_sample", "minhash_dups", "simhash_dups",
+                    "ngram_jaccard", "embedding_dup_lsh", "embedding_dup_exact",
+                    "lsh_topk"):
+            continue  # eager/self-join ops exercised elsewhere; some build RDDs
+        df = q(spark, SF_DIR)
+        full = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in full, name
+
+
+def test_parse_stage_is_arrow_eval(spark):
+    """The parse UDF must plan as ArrowEvalPython (vectorized), never
+    BatchEvalPython (row-at-a-time pickling)."""
+    from addressit_spark.parse_stage import parse_spans
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    df = parse_spans(docs)
+    full = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in full and "BatchEvalPython" not in full

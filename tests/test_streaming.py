@@ -1,0 +1,118 @@
+"""Structured Streaming: batch/stream parity with availableNow triggers."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from addressit_spark.blocking import address_table
+from addressit_spark.parse_stage import parse_spans
+from addressit_spark.sources.corpus import documents_view, synth_corpus
+from addressit_spark.streaming import (
+    running_block_counts,
+    stream_documents,
+    streaming_block_stats,
+    streaming_exact_dedup,
+    streaming_parse,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Corpus written as a parquet dir with a constant event-time column."""
+    path = str(tmp_path_factory.mktemp("streamsrc") / "docs")
+    docs = documents_view(synth_corpus(spark, 300, seed=42)).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.crc32("doc_id") % 300)
+    )
+    docs.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, sdf, name, mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_parse_matches_batch(spark, stream_dir):
+    stream = streaming_parse(stream_documents(spark, stream_dir))
+    got = _run_stream(spark, stream, "t_parse")
+    batch = parse_spans(spark.read.parquet(stream_dir).drop("ingest_ts"))
+    g = {
+        (r["doc_id"], r["pos"]): (r["address"]["street"], r["address"]["number"])
+        for r in got.where(F.col("kind") == "text").collect()
+    }
+    b = {
+        (r["doc_id"], r["pos"]): (r["address"]["street"], r["address"]["number"])
+        for r in batch.where(F.col("kind") == "text").collect()
+    }
+    assert g == b and len(g) > 0
+
+
+def test_streaming_exact_dedup_drops_dupes(spark, stream_dir):
+    stream = streaming_exact_dedup(stream_documents(spark, stream_dir))
+    got = _run_stream(spark, stream, "t_dedup")
+    n_docs = spark.read.parquet(stream_dir).count()
+    n_distinct_texts = (
+        spark.read.parquet(stream_dir)
+        .withColumn(
+            "text_hash",
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.filter("spans", lambda s: s.getField("kind") == "text"),
+                        lambda s: s.getField("text"),
+                    ),
+                )
+            ),
+        )
+        .select("text_hash")
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_distinct_texts <= n_docs
+    assert got.select("text_hash").distinct().count() == got.count()
+
+
+def test_streaming_block_stats_matches_batch_totals(spark, stream_dir):
+    stream = streaming_block_stats(
+        stream_documents(spark, stream_dir), window="10 minutes"
+    )
+    # update mode: append-mode watermark aggs only emit a window after a
+    # LATER batch moves the watermark past it; a single availableNow batch
+    # would emit nothing. One batch → exactly one update per window.
+    got = _run_stream(spark, stream, "t_blocks", mode="update")
+    per_block_stream = {
+        r["block_key"]: r["total"]
+        for r in got.groupBy("block_key").agg(F.sum("block_size").alias("total")).collect()
+    }
+    batch = address_table(parse_spans(spark.read.parquet(stream_dir).drop("ingest_ts")))
+    per_block_batch = {
+        r["block_key"]: r["total"]
+        for r in batch.groupBy("block_key").agg(F.count(F.lit(1)).alias("total")).collect()
+    }
+    assert per_block_stream == per_block_batch and len(per_block_batch) > 0
+
+
+def test_running_block_counts_stateful(spark, stream_dir):
+    stream = running_block_counts(stream_documents(spark, stream_dir))
+    got = _run_stream(spark, stream, "t_state", mode="update")
+    # single availableNow pass → final running count per block == batch count
+    final = {
+        r["block_key"]: r["max_count"]
+        for r in got.groupBy("block_key")
+        .agg(F.max("running_count").alias("max_count"))
+        .collect()
+    }
+    batch = address_table(parse_spans(spark.read.parquet(stream_dir).drop("ingest_ts")))
+    per_block_batch = {
+        r["block_key"]: r["n"]
+        for r in batch.groupBy("block_key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final == per_block_batch and len(final) > 0
