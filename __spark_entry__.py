@@ -43,6 +43,7 @@ from addressit_spark.operators.similarity import (
 )
 from addressit_spark.operators.text import (
     STOPWORDS,
+    fingerprint,
     with_lang_id,
     with_token_stats,
     quality_score,
@@ -358,6 +359,12 @@ def q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints (rows-only: xxhash64 is engine-specific)."""
+    d = fingerprint(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "fp64", "fp_prefix", "fp_suffix").orderBy("doc_id")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_lang_id(_t(spark, sf_dir, "documents"))
     return (
@@ -436,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
         "media_meta": q_media_meta,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,

@@ -1,0 +1,57 @@
+"""Document-table readers/writers for the engine's supported formats.
+
+The input contract is the BASELINE input_hint shape — nested
+``documents(doc_id, spans[])`` — or the flat driver shape
+``documents(doc_id, text, …)``. Readers enforce the nested schema on
+schemaless formats (JSON) so downstream stages never see drifting types;
+writers partition output so a 10^12-row corpus lands as prunable files.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from addressit_spark.parse_stage import DOCUMENTS_SCHEMA
+
+
+def read_documents(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a documents table: parquet (self-describing) or json (schema-enforced).
+
+    CSV cannot carry the nested span array; a CSV input is treated as the
+    flat (doc_id, text) shape with a header.
+    """
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "json":
+        return spark.read.schema(DOCUMENTS_SCHEMA).json(path)
+    if fmt == "csv":
+        return spark.read.option("header", "true").csv(path)
+    raise ValueError(f"unsupported documents format: {fmt}")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: Optional[str] = None,
+    buckets: int = 64,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write with a stable hash-partition layout.
+
+    ``partition_col`` defaults to a hash bucket of doc_id so files stay
+    balanced regardless of id distribution — the layout a resume/consumer
+    job can re-read with partition pruning on the bucket column.
+    """
+    out = df
+    if partition_col is None:
+        partition_col = "doc_bucket"
+        out = df.withColumn(
+            partition_col, F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int")
+        )
+    out.write.mode(mode).partitionBy(partition_col).format(fmt).save(path)

@@ -85,3 +85,34 @@ def test_python_soundex_matches_spark(spark):
     )
     for r in df.collect():
         assert soundex(r["w"]) == r["sx"], r
+
+
+def test_io_roundtrip_and_partitioned_write(spark, tmp_path):
+    """sources/io: parquet/json readers enforce the nested schema; the
+    partitioned writer lands prunable bucket directories."""
+    from addressit_spark.sources.corpus import documents_view, synth_corpus
+    from addressit_spark.sources.io import read_documents, write_partitioned
+
+    docs = documents_view(synth_corpus(spark, 50, seed=3))
+    pq = str(tmp_path / "docs_pq")
+    js = str(tmp_path / "docs_json")
+    docs.write.mode("overwrite").parquet(pq)
+    docs.write.mode("overwrite").json(js)
+
+    got_pq = read_documents(spark, pq, "parquet")
+    got_js = read_documents(spark, js, "json")
+    assert got_pq.count() == got_js.count() == docs.count()
+    assert got_js.schema["spans"].dataType == docs.schema["spans"].dataType
+
+    part = str(tmp_path / "docs_part")
+    write_partitioned(docs, part, buckets=8)
+    import os
+
+    bucket_dirs = [d for d in os.listdir(part) if d.startswith("doc_bucket=")]
+    assert 1 <= len(bucket_dirs) <= 8
+    back = spark.read.parquet(part)
+    assert back.count() == docs.count()
+    # partition pruning: a bucket filter reads only that directory
+    one = back.where("doc_bucket = 3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
