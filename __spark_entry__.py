@@ -39,6 +39,7 @@ from addressit_spark.operators.similarity import (
     brute_force_topk,
     cosine_col,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from addressit_spark.operators.text import (
@@ -353,6 +354,15 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only: centroid refinement is engine-iterative)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries_df, k=10, n_centroids=16, nprobe=6).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), min_cos=0.99, bits=10
@@ -441,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_dup_lsh": q_embedding_dup_lsh,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,

@@ -180,6 +180,116 @@ def lsh_topk(
     )
 
 
+def _centroid_assign(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, top: int = 1
+) -> DataFrame:
+    """Assign each vector to its ``top`` nearest centroids (cosine).
+
+    Broadcast cross-join against the (tiny) centroid table + window argmin —
+    the standard IVF build/probe primitive; cost is |vectors| × k rows of
+    pure JVM arithmetic.
+    """
+    scored = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).crossJoin(F.broadcast(centroids))
+    scored = scored.select(
+        "vid",
+        "vec",
+        "cid",
+        cosine_col(F.col("vec"), F.col("centroid")).alias("csim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= top)
+        .select("vid", "vec", "cid", "crank")
+    )
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: (cid, centroid) after Lloyd steps.
+
+    Seeds are the ``n_centroids`` lowest-id vectors (deterministic across
+    runs/cluster sizes — no RNG), refined by ``iters`` Lloyd iterations done
+    entirely with DataFrame ops: assign (broadcast argmin) → element-wise
+    mean via posexplode + groupBy(cid, dim) — no driver-side math.
+    """
+    base = ensure_parallelism(embeddings.select(id_col, vec_col))
+    cent = (
+        base.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(vec_col).alias("centroid"))
+        .withColumn("cid", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1)
+        .select("cid", "centroid")
+    )
+    for _ in range(iters):
+        assigned = _centroid_assign(base, cent, id_col, vec_col, top=1)
+        dims = assigned.select("cid", F.posexplode("vec").alias("dim", "x"))
+        means = (
+            dims.groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.getField("m").cast("float"),
+                ).alias("centroid")
+            )
+        )
+        cent = means.localCheckpoint(eager=True)
+    return cent
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize, probe ``nprobe`` lists.
+
+    The scale path for large |queries|: each query scans only the ~nprobe/k
+    fraction of vectors in its probed inverted lists instead of the full
+    table. Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    cent = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    lists = _centroid_assign(embeddings, cent, id_col, vec_col, top=1).select(
+        F.col("vid").alias("neighbor_id"), F.col("vec").alias("nvec"), "cid"
+    )
+    probes = _centroid_assign(queries, cent, id_col, vec_col, top=nprobe).select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("qvec"), "cid"
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     min_cos: float = 0.95,

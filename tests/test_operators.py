@@ -134,3 +134,21 @@ def test_lang_id_on_real_phrases(spark):
     assert got[1] == "en"
     assert got[2] == "de"
     assert got[3] == "zh"
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF ANN: recall@10 vs exact cosine top-k on the sf0.01 embeddings."""
+    from addressit_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where("vec_id < 8")
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+    # deterministic across invocations
+    a2 = {(r["query_id"], r["neighbor_id"]) for r in
+          ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=6).collect()}
+    assert a == a2
