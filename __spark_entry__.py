@@ -552,7 +552,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(token_count) AS total_tokens,
+                   CAST(sum(token_count) AS BIGINT) AS total_tokens,
                    round(avg(token_count), 4) AS avg_tokens,
                    round(avg(stopword_ratio), 4) AS avg_stopword_ratio
             FROM t GROUP BY lang ORDER BY lang
@@ -582,7 +582,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    count(*) AS n_docs,
                    round(avg(quality_score), 4) AS avg_quality,
-                   sum(CASE WHEN quality_score >= 0.99 THEN 1 ELSE 0 END) AS n_high_quality
+                   CAST(sum(CASE WHEN quality_score >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
             FROM q GROUP BY source ORDER BY source
         """,
         "lang_share": """
