@@ -246,12 +246,13 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single scan: the grand total comes from an unpartitioned window over the
+    # (tiny, already-aggregated) per-lang counts, not a second driver count()
     d = _t(spark, sf_dir, "documents")
-    total = d.count()
+    agg = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy())
     return (
-        d.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .withColumn("share", F.round(F.col("n_docs") / F.lit(float(total)), 6))
+        agg.withColumn("share", F.round(F.col("n_docs") / total, 6))
         .orderBy("lang")
     )
 

@@ -24,7 +24,9 @@ arithmetic cannot overflow.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, List
+import logging
+import re
+from typing import Iterator, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -95,11 +97,20 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
 def _py_shingles(text, n: int):
-    """Distinct word n-gram shingles — same semantics as shingles_col."""
+    """Distinct word n-gram shingles — same semantics as shingles_col.
+
+    Tokenizes on the ASCII whitespace class Java's ``\\s`` matches (not
+    Python ``str.split()``'s full Unicode whitespace), so shingle sets agree
+    with the ``shingles_col`` column twin / the SQL oracle even on texts
+    containing NBSP or other Unicode spaces.
+    """
     if text is None:
         return []
-    toks = text.split()
+    toks = [t for t in _ASCII_WS.split(text) if t]
     if len(toks) < n:
         return []
     return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
@@ -137,15 +148,38 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs with J ≥ min_jaccard.
 
     |A∩B| from the shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Canonical
-    (a < b) pair order. Quadratic in per-shingle doc frequency — cap or
-    pre-filter hot shingles upstream at very large scale.
+    (a < b) pair order.
+
+    ``max_shingle_df`` bounds the quadratic blowup on stop-shingles: the
+    self-join cost is Σ df(shingle)², so one shingle appearing in 10⁶ docs
+    alone yields 10¹² candidate rows. When set, shingles with document
+    frequency > ``max_shingle_df`` are removed from the shingle space
+    *before* the join — from both the intersection AND the set sizes, i.e.
+    the result is the exact Jaccard over the filtered shingle vocabulary
+    (stop-word-removal semantics, not a silently biased |A∩B|). The number
+    of distinct dropped shingles is computed and logged (no silent caps);
+    that count is a tiny aggregate, not a per-row collect. ``None`` (the
+    default) keeps the fully exact semantics for oracle comparison.
     """
     # materialize once — both self-join branches read the same blocks
     s = reuse(shingle_table(df, n, text_col, id_col))
+    if max_shingle_df is not None:
+        dfreq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        hot = dfreq.where(F.col("_df") > max_shingle_df)
+        n_hot = hot.count()
+        logging.getLogger(__name__).warning(
+            "ngram_jaccard_pairs: dropping %d distinct shingles with df > %d "
+            "before the similarity self-join", n_hot, max_shingle_df,
+        )
+        kept = s.join(hot.select("shingle"), "shingle", "left_anti")
+        # set sizes must reflect the filtered vocabulary
+        sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+        s = reuse(kept.select("doc_id", "shingle").join(sizes, "doc_id"))
     a = s.select(
         F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
     )
@@ -320,8 +354,17 @@ def simhash_dup_pairs(
     pair; candidates are then verified exactly with ``bit_count``. Smaller
     radius → fewer, wider bands → fewer bucket collisions; the caller's
     radius controls the recall/cost trade directly.
+
+    The pigeonhole argument needs ``max_hamming + 1`` bands of ≥ 1 bit each,
+    so the supported radius range is 0..15 (16 bands × 4 bits over 64 bits);
+    larger radii would silently lose the recall guarantee, so they raise.
     """
-    n_bands = min(max_hamming + 1, 16)
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            "max_hamming must be in [0, 15]: the 64-bit pigeonhole construction "
+            "needs max_hamming+1 non-empty bands (got %d)" % max_hamming
+        )
+    n_bands = max_hamming + 1
     # split 64 bits as evenly as possible (e.g. 7 bands → 10,9,9,9,9,9,9)
     widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]

@@ -221,12 +221,16 @@ def ivf_build(
     mean via posexplode + groupBy(cid, dim) — no driver-side math.
     """
     base = ensure_parallelism(embeddings.select(id_col, vec_col))
+    # cid derives from id_col order directly — monotonically_increasing_id
+    # depends on physical partition layout and would make the "deterministic
+    # across runs/cluster sizes" seeding claim fragile
     cent = (
         base.orderBy(id_col)
         .limit(n_centroids)
-        .select(F.col(vec_col).alias("centroid"))
-        .withColumn("cid", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1)
-        .select("cid", "centroid")
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cid"),
+            F.col(vec_col).alias("centroid"),
+        )
     )
     for _ in range(iters):
         assigned = _centroid_assign(base, cent, id_col, vec_col, top=1)

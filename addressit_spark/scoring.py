@@ -336,7 +336,22 @@ def score_pairs(pairs: DataFrame, dims_from: Optional[DataFrame] = None) -> Data
     Float semantics are bit-identical to ``score_pair_py`` (same kernel JW
     doubles, same IEEE accumulation order).
     """
+    # NULL surfaces must score like '' (matching score_pairs_arrow / the
+    # scalar kernel), but NULL equi-join keys never match — coalesce both
+    # the pair table's key columns and the surface dims before joining.
+    pairs = pairs.withColumns(
+        {
+            c: F.coalesce(F.col(c), F.lit(""))
+            for c in ("street_norm_a", "street_norm_b", "locality_a", "locality_b")
+        }
+    )
     if dims_from is not None:
+        dims_from = dims_from.withColumns(
+            {
+                c: F.coalesce(F.col(c), F.lit(""))
+                for c in ("street_norm", "locality")
+            }
+        )
         s = dims_from.select("block_key", "street_norm").distinct()
         sd = (
             s.select("block_key", F.col("street_norm").alias("a"))

@@ -62,7 +62,10 @@ def streaming_exact_dedup(
     """Exact text dedup with engine-managed, watermark-expired state.
 
     Keyed on md5 of the concatenated text spans; duplicates arriving within
-    the watermark horizon are dropped, state for older keys is reclaimed.
+    the watermark horizon are dropped. Uses ``dropDuplicatesWithinWatermark``
+    so the engine evicts per-key state once the key's event time falls behind
+    the watermark — plain ``dropDuplicates`` on a non-event-time subset never
+    evicts, which would grow state unboundedly on an unbounded stream.
     """
     keyed = documents.withColumn(
         "text_hash",
@@ -76,7 +79,7 @@ def streaming_exact_dedup(
             )
         ),
     )
-    return keyed.withWatermark("ingest_ts", watermark).dropDuplicates(
+    return keyed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )
 

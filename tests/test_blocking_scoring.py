@@ -142,3 +142,30 @@ def test_spark_scoring_matches_kernel(spark, addresses):
             p["unit_a"], p["unit_b"],
         )
         assert abs(r["score"] - want) < 1e-9
+
+
+def test_score_pairs_null_surfaces_match_arrow(spark):
+    """NULL street/locality surfaces must score like '' in BOTH public paths.
+
+    The surface-factored path joins on the surface strings; NULL equi-join
+    keys never match, so without coalescing, NULL-surface pairs silently
+    vanish while score_pairs_arrow scores them as ''.
+    """
+    from addressit_spark.scoring import score_pairs, score_pairs_arrow
+
+    rows = [
+        ("u1", "u2", "bk", None, "MAIN ST", None, "SPRINGFIELD", "1", "1", None, None),
+        ("u3", "u4", "bk", "MAIN ST", "MAIN ST", "SPRINGFIELD", None, "2", "2", "1", "1"),
+        ("u5", "u6", "bk", None, None, None, None, "3", "3", None, None),
+    ]
+    cols = (
+        "uid_a string, uid_b string, block_key string, "
+        "street_norm_a string, street_norm_b string, "
+        "locality_a string, locality_b string, "
+        "number_a string, number_b string, unit_a string, unit_b string"
+    )
+    pairs = spark.createDataFrame(rows, cols)
+    fact = {r["uid_a"]: r["score"] for r in score_pairs(pairs).collect()}
+    arrow = {r["uid_a"]: r["score"] for r in score_pairs_arrow(pairs).collect()}
+    assert fact == arrow
+    assert set(fact) == {"u1", "u3", "u5"}

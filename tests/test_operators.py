@@ -152,3 +152,100 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     a2 = {(r["query_id"], r["neighbor_id"]) for r in
           ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=6).collect()}
     assert a == a2
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
+    """A planted stop-shingle must not blow up candidates when capped.
+
+    30 docs share the shingle "common stop shingle"; uncapped, that one
+    shingle alone yields C(30,2)=435 join rows. With max_shingle_df the hot
+    shingle is excluded from the filtered vocabulary (both intersection and
+    set sizes), so only genuinely similar pairs remain.
+    """
+    from addressit_spark.operators.dedup import shingle_table
+
+    rows = [
+        (i, "common stop shingle unique%d tail%d word%d" % (i, i * 3, i * 7))
+        for i in range(30)
+    ]
+    # one real near-dup pair sharing plenty of non-hot shingles
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, n=3, min_jaccard=0.3, max_shingle_df=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+
+    # sanity: uncapped DOES produce the quadratic candidate mass
+    uncapped = ngram_jaccard_pairs(df, n=3, min_jaccard=0.0)
+    assert uncapped.count() >= 435
+
+
+def test_ngram_jaccard_cap_matches_filtered_vocabulary_semantics(spark):
+    """Capped Jaccard == exact Jaccard computed over the kept shingles only."""
+    rows = [
+        (0, "x y z a b c d e"),
+        (1, "x y z a b c d f"),
+        (2, "x y z unrelated tokens here now"),
+        (3, "x y z other words appear too"),
+        (4, "x y z more filler text rows"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # "x y z" has df=5 > 3 → dropped from the vocabulary
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, min_jaccard=0.0, max_shingle_df=3).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    from collections import Counter
+
+    dfreq = Counter(s for ss in sets.values() for s in ss)
+    kept = {i: {s for s in ss if dfreq[s] <= 3} for i, ss in sets.items()}
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a < b and kept[a] & kept[b]:
+                expected[(a, b)] = round(
+                    len(kept[a] & kept[b]) / len(kept[a] | kept[b]), 6
+                )
+    assert capped == expected
+
+
+def test_simhash_radius_guard():
+    import pytest as _pytest
+
+    from addressit_spark.operators.dedup import simhash_dup_pairs
+
+    with _pytest.raises(ValueError):
+        simhash_dup_pairs(None, max_hamming=16)
+    with _pytest.raises(ValueError):
+        simhash_dup_pairs(None, max_hamming=-1)
+
+
+def test_lang_id_vectorized_matches_scalar_kernel():
+    """The columnar batch twin must agree with the scalar reference kernel."""
+    import pandas as pd
+
+    from addressit_spark.operators.text import _lang_id_batch, _lang_id_kernel
+
+    texts = [
+        None,
+        "",
+        "the cat and the dog in the house",
+        "der hund und die katze in der schule",
+        "el que de la casa los entos para",
+        "les que des maisons entre ent ion",
+        "这是一个中文文档的例子这是一个中文文档",
+        "mixed 这是 english and 中文 but mostly english the and of",
+        "zzz qqq vvv",  # no profile hits → und
+        "the the the und und und",  # tie-ish: strict > keeps first winner
+    ]
+    got = _lang_id_batch(pd.Series(texts, dtype=object)).tolist()
+    want = [_lang_id_kernel(t) if t is not None else "und" for t in texts]
+    assert got == want
