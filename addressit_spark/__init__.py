@@ -7,6 +7,13 @@ transitive clustering, plus the training-data-pipeline operator suite
 (dedup, similarity search, text analysis, multimodal plumbing).
 """
 
-from addressit_spark.kernel import parse, parse_to_row, to_string, LOCALES  # noqa: F401
+from addressit_spark.kernel import (  # noqa: F401
+    LOCALES,
+    Locale,
+    make_locale,
+    parse,
+    parse_to_row,
+    to_string,
+)
 
 __version__ = "0.1.0"

@@ -258,9 +258,18 @@ _Battery = Union[_KeyedRegexes, _PlainRegexes]
 
 
 class Locale:
-    """Frozen locale config: which extractors run and with what lexicons."""
+    """Frozen locale config: which extractors run and with what lexicons.
 
-    __slots__ = ("name", "state", "country", "postalcode")
+    Raw regex sources are retained (``*_src``) so caller-opts overlays
+    (:func:`make_locale`, mirroring the reference's ``cog/extend`` merge at
+    /root/reference/locale/en-US.js:6 — caller wins per top-level key) can
+    rebuild a derived locale without reverse-engineering compiled patterns.
+    """
+
+    __slots__ = (
+        "name", "state", "country", "postalcode",
+        "state_src", "country_src", "postalcode_src",
+    )
 
     def __init__(
         self,
@@ -270,11 +279,63 @@ class Locale:
         postalcode: Optional[str] = None,
     ):
         self.name = name
+        self.state_src = dict(state) if state else None
+        self.country_src = dict(country) if country else None
+        self.postalcode_src = postalcode
         self.state = _KeyedRegexes(state) if state else None
         self.country = _KeyedRegexes(country) if country else None
         self.postalcode = (
             _PlainRegexes([re.compile(postalcode)]) if postalcode else None
         )
+
+    def __getstate__(self):  # __slots__ classes need explicit pickling;
+        # ship only raw sources — patterns recompile on the worker.
+        return (self.name, self.state_src, self.country_src, self.postalcode_src)
+
+    def __setstate__(self, st):
+        self.__init__(st[0], state=st[1], country=st[2], postalcode=st[3])
+
+
+_UNSET = object()
+
+
+def make_locale(
+    base: Union[str, "Locale", None] = "en-US",
+    *,
+    name: Optional[str] = None,
+    state: object = _UNSET,
+    country: object = _UNSET,
+    postalcode: object = _UNSET,
+) -> "Locale":
+    """Caller-supplied locale opts over a base locale — the ``extend`` overlay.
+
+    Mirrors ``parser(input, extend({defaults…}, opts))``
+    (/root/reference/locale/en-US.js:4-6, /root/reference/index.js:48-54):
+    a shallow merge where each caller-given top-level key REPLACES the
+    base's whole value for that key. Passing an explicit falsy value (e.g.
+    ``state=None``) disables that extractor, exactly like a falsy ``opts``
+    member failing the reference's ``if (opts && opts.state)`` guard
+    (/root/reference/parsers/en.js:115-125); omitting the kwarg inherits
+    the base locale's lexicon.
+
+    ``state``/``country`` are ordered ``{KEY: regex-source}`` dicts;
+    ``postalcode`` is one regex source string. Sources use the same JS-style
+    syntax as the built-in locales (compiled case-insensitive, ``\\s``
+    literal token windows counted for multi-token joins).
+    """
+    if base is None:
+        b_state = b_country = b_postal = None
+        base_name = "custom"
+    else:
+        loc = LOCALES[base] if isinstance(base, str) else base
+        b_state, b_country, b_postal = loc.state_src, loc.country_src, loc.postalcode_src
+        base_name = loc.name
+    return Locale(
+        name or base_name + "+opts",
+        state=b_state if state is _UNSET else state,  # type: ignore[arg-type]
+        country=b_country if country is _UNSET else country,  # type: ignore[arg-type]
+        postalcode=b_postal if postalcode is _UNSET else postalcode,  # type: ignore[arg-type]
+    )
 
 
 EN_US = Locale(

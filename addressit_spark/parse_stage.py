@@ -34,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from addressit_spark.kernel import parse
+from addressit_spark.kernel import LOCALES, Locale, make_locale, parse
 from addressit_spark.util import ensure_parallelism
 
 ADDRESS_SCHEMA = StructType(
@@ -67,19 +67,42 @@ DOCUMENTS_SCHEMA = StructType(
 )
 
 
-def make_parse_udf(locale: str = "en-US"):
+def resolve_locale(locale) -> Locale:
+    """str name | ``Locale`` | caller-opts dict → a frozen ``Locale``.
+
+    A dict mirrors the reference's caller ``opts`` overlay
+    (``addressit(input, opts)``, /root/reference/index.js:48-54): keys
+    ``base`` (default "en-US"), ``state``, ``country``, ``postalcode`` —
+    each given key replaces the base locale's lexicon wholesale, a falsy
+    value disables that extractor (``cog/extend`` + the
+    ``if (opts && opts.state)`` guards at /root/reference/parsers/en.js:115-125).
+    """
+    if isinstance(locale, Locale):
+        return locale
+    if isinstance(locale, dict):
+        return make_locale(locale.get("base", "en-US"), **{
+            k: v for k, v in locale.items() if k != "base"
+        })
+    return LOCALES[locale]
+
+
+def make_parse_udf(locale="en-US"):
     """Series[str] → Series[address struct] pandas UDF for one locale.
 
-    The locale is closure-captured (the reference threads it as opts —
-    ``/root/reference/parsers/en.js:115-125``); regex tables are module
-    state shared across batches within each Python worker.
+    ``locale`` may be a built-in name, a ``Locale`` instance, or a caller
+    opts dict (see :func:`resolve_locale`) — the resolved frozen locale is
+    closure-captured and pickled to workers as raw regex sources (the
+    reference threads opts the same way,
+    ``/root/reference/parsers/en.js:115-125``); regex tables recompile once
+    per Python worker, shared across batches.
     """
+    loc = resolve_locale(locale)
 
     @pandas_udf(ADDRESS_SCHEMA)
     def parse_address(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for texts in it:
             rows = [
-                parse(t, locale)
+                parse(t, loc)
                 if t is not None
                 else {
                     "unit": None,
@@ -152,7 +175,7 @@ def normalize_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def parse_spans(documents: DataFrame, locale: str = "en-US") -> DataFrame:
+def parse_spans(documents: DataFrame, locale="en-US") -> DataFrame:
     """explode → parse text spans → (doc_id, pos, kind, …, address struct).
 
     Media spans pass through with a NULL address, so downstream reassembly

@@ -86,6 +86,43 @@ except ImportError:
         return jaro + prefix * 0.1 * (1.0 - jaro)
 
 
+def levenshtein(s1: str, s2: str) -> int:
+    """Classic unit-cost edit distance — same semantics as Spark's
+    ``F.levenshtein`` and DuckDB's ``levenshtein`` (both used as oracles in
+    tests), so the JVM and Python scoring paths agree exactly.
+    """
+    if s1 == s2:
+        return 0
+    if not s1:
+        return len(s2)
+    if not s2:
+        return len(s1)
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1, 1):
+        cur = [i]
+        for j, c2 in enumerate(s2, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+def surface_sim(s1: str, s2: str) -> float:
+    """Hybrid string similarity: ``max(JW, 1 − lev/maxlen)``.
+
+    Jaro-Winkler rewards shared prefixes (street/locality names); normalized
+    Levenshtein catches the long-shared-suffix shapes JW under-scores. The
+    ``max`` blend can only raise same-entity variant scores (recall-safe);
+    within a block the street-name part of both surfaces is equal by
+    construction, so it cannot manufacture cross-entity similarity the JW
+    term didn't already see. Both-empty pairs score 0.0 (the JW convention).
+    """
+    jw = jaro_winkler(s1, s2)
+    m = max(len(s1), len(s2))
+    if m == 0:
+        return jw
+    return max(jw, 1.0 - levenshtein(s1, s2) / m)
+
+
 def _pack_codes(strs: List[str]) -> tuple:
     """Pack a batch of strings into a (N, Lmax) uint32 codepoint matrix.
 
@@ -230,8 +267,8 @@ def score_pair_py(
     unit_b: Optional[str],
 ) -> float:
     """Single-pair composite score — the kernel shared by Spark and tests."""
-    s = W_STREET * jaro_winkler(street_a or "", street_b or "")
-    s += W_LOCALITY * jaro_winkler(locality_a or "", locality_b or "")
+    s = W_STREET * surface_sim(street_a or "", street_b or "")
+    s += W_LOCALITY * surface_sim(locality_a or "", locality_b or "")
     s += W_NUMBER * (1.0 if (number_a or "") == (number_b or "") else 0.0)
     s += W_UNIT * _unit_sim(unit_a, unit_b)
     return s
@@ -273,6 +310,40 @@ def _jw_dict_memo(col_a, col_b) -> np.ndarray:
         ua.append(x)
         ub.append(y)
     return jaro_winkler_batch(ua, ub)[codes]
+
+
+def _sim_dict_memo(col_a, col_b) -> np.ndarray:
+    """Hybrid ``surface_sim`` over two pyarrow string arrays, memoized.
+
+    Same dictionary-encoding trick as :func:`_jw_dict_memo`; the Levenshtein
+    term runs scalar over the UNIQUE pairs only (uniques ≪ rows within a
+    block), keeping the arrow path bit-identical to the JVM
+    ``F.levenshtein``-based factored path.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    a = pc.fill_null(col_a, "")
+    b = pc.fill_null(col_b, "")
+    key = pc.binary_join_element_wise(a, b, "\x01")
+    enc = pc.dictionary_encode(key)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniques = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    ua: List[str] = []
+    ub: List[str] = []
+    for u in uniques:
+        x, _, y = u.partition("\x01")
+        ua.append(x)
+        ub.append(y)
+    jw = jaro_winkler_batch(ua, ub)
+    sims = np.empty(len(ua), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(ua, ub)):
+        m = max(len(x), len(y))
+        # same op order as surface_sim / the JVM column expression
+        sims[i] = max(jw[i], 1.0 - levenshtein(x, y) / m) if m else jw[i]
+    return sims[codes]
 
 
 def jw_pairs_table(pairs_of_strings: DataFrame) -> DataFrame:
@@ -374,15 +445,26 @@ def score_pairs(pairs: DataFrame, dims_from: Optional[DataFrame] = None) -> Data
             F.col("locality_a").alias("a"), F.col("locality_b").alias("b")
         ).distinct()
 
-    sj = jw_pairs_table(sd).select(
+    def hybrid(jw_tbl: DataFrame) -> DataFrame:
+        # surface_sim = max(JW, 1 − lev/maxlen): the Levenshtein term is the
+        # built-in F.levenshtein, evaluated JVM-side on the (tiny) distinct
+        # surface-pair table — never on the bulk pair rows.
+        m = F.greatest(F.length("a"), F.length("b"))
+        lev_sim = F.lit(1.0) - F.levenshtein("a", "b") / m
+        return jw_tbl.withColumn(
+            "sim",
+            F.when(m > 0, F.greatest(F.col("jw"), lev_sim)).otherwise(F.col("jw")),
+        )
+
+    sj = hybrid(jw_pairs_table(sd)).select(
         F.col("a").alias("street_norm_a"),
         F.col("b").alias("street_norm_b"),
-        F.col("jw").alias("_jw_street"),
+        F.col("sim").alias("_jw_street"),
     )
-    lj = jw_pairs_table(ld).select(
+    lj = hybrid(jw_pairs_table(ld)).select(
         F.col("a").alias("locality_a"),
         F.col("b").alias("locality_b"),
-        F.col("jw").alias("_jw_loc"),
+        F.col("sim").alias("_jw_loc"),
     )
     p = pairs.join(F.broadcast(sj), ["street_norm_a", "street_norm_b"]).join(
         F.broadcast(lj), ["locality_a", "locality_b"]
@@ -412,10 +494,10 @@ def score_pairs_arrow(pairs: DataFrame) -> DataFrame:
             n = batch.num_rows
             if not n:
                 continue
-            jw_street = _jw_dict_memo(
+            jw_street = _sim_dict_memo(
                 batch.column("street_norm_a"), batch.column("street_norm_b")
             )
-            jw_loc = _jw_dict_memo(
+            jw_loc = _sim_dict_memo(
                 batch.column("locality_a"), batch.column("locality_b")
             )
             num_a = pc.fill_null(batch.column("number_a"), "")

@@ -169,3 +169,35 @@ def test_score_pairs_null_surfaces_match_arrow(spark):
     arrow = {r["uid_a"]: r["score"] for r in score_pairs_arrow(pairs).collect()}
     assert fact == arrow
     assert set(fact) == {"u1", "u3", "u5"}
+
+
+def test_levenshtein_matches_duckdb_and_spark(spark):
+    """Python levenshtein == DuckDB levenshtein == Spark F.levenshtein."""
+    from addressit_spark.scoring import levenshtein
+
+    words = ["", "A", "MELBOURNE", "MELBORNE", "ROBINSON ROAD", "ROBINSON RD",
+             "NORTH ST", "SOUTH ST", "KALGOORLIE", "KALGORLIE", "X"]
+    con = duckdb.connect()
+    rows = [(a, b) for a in words for b in words]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got_spark = {
+        (r["a"], r["b"]): r["lev"]
+        for r in df.select("a", "b", F.levenshtein("a", "b").alias("lev")).collect()
+    }
+    for a, b in rows:
+        py = levenshtein(a, b)
+        dk = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert py == dk == got_spark[(a, b)], (a, b, py, dk, got_spark[(a, b)])
+
+
+def test_surface_sim_hybrid_properties():
+    from addressit_spark.scoring import surface_sim
+
+    # hybrid can only raise the JW score
+    assert surface_sim("MELBOURNE", "MELBORNE") >= jaro_winkler("MELBOURNE", "MELBORNE")
+    # long-shared-suffix shape where normalized lev wins over JW
+    assert surface_sim("NORTH ST", "SOUTH ST") == max(
+        jaro_winkler("NORTH ST", "SOUTH ST"), 1.0 - 2 / 8
+    )
+    assert surface_sim("", "") == 0.0
+    assert surface_sim("ABC", "ABC") == 1.0
