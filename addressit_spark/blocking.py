@@ -82,17 +82,33 @@ def block_stats(addresses: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs(
+def salted_pair_join(
     addresses: DataFrame,
+    features: Tuple[str, ...],
     heavy_threshold: int = 64,
     salt_cap: int = 64,
     max_block_size: int = 100_000,
+    hash_block_key: bool = False,
 ) -> Tuple[DataFrame, DataFrame]:
-    """Generate within-block candidate pairs, skew-salted.
+    """The triangle-salted within-block self-join core.
 
-    Returns ``(pairs, dropped_blocks)`` where ``pairs`` carries the features
-    of both sides (suffixed ``_l``/``_r``) and ``dropped_blocks`` is the
-    metrics table of oversized blocks excluded from matching.
+    ``features`` is the per-side payload carried through the shuffle — every
+    byte of it is paid once per replicated row, so callers should project the
+    MINIMUM set their consumer reads (the fused scorer carries interned int
+    surface ids; the compositional :func:`candidate_pairs` carries the full
+    string feature set for inspectability).
+
+    ``hash_block_key=True`` joins on ``xxhash64(block_key)`` (8 bytes)
+    instead of the block-key string; the string is still carried once, on the
+    left side only, for the output. A 64-bit block-hash collision merges two
+    blocks' candidate spaces — at 10⁹ distinct blocks the expected number of
+    colliding block *pairs* is ~0.03, and the consequence is a few extra
+    scored (low-similarity) pairs, not lost pairs, so this is safe at any
+    realistic scale.
+
+    Returns ``(pairs, dropped_blocks)``: canonical (uid_a < uid_b) pairs with
+    each feature suffixed ``_a``/``_b``, plus the oversized-block metrics
+    table (no silent caps).
     """
     sizes = addresses.groupBy("block_key").agg(F.count(F.lit(1)).alias("block_size"))
 
@@ -112,23 +128,31 @@ def candidate_pairs(
             F.pmod(F.xxhash64("uid"), F.col("n_buckets")).cast("int"),
         )
     )
+    if hash_block_key:
+        addr = addr.withColumn("_bk", F.xxhash64("block_key"))
+        join_key = "_bk"
+        left_extra = ["block_key"]  # carried once, left side only
+    else:
+        join_key = "block_key"
+        left_extra = []
 
-    feat = ["uid"] + PAIR_FEATURES
+    feat = ["uid"] + list(features)
 
     left = addr.select(
-        "block_key",
+        join_key,
+        *left_extra,
         F.col("bucket").alias("lo"),
         F.explode(F.sequence(F.col("bucket"), F.col("n_buckets") - 1)).alias("hi"),
         *[F.col(c).alias(c + "_l") for c in feat],
     )
     right = addr.select(
-        "block_key",
+        join_key,
         F.explode(F.sequence(F.lit(0), F.col("bucket"))).alias("lo"),
         F.col("bucket").alias("hi"),
         *[F.col(c).alias(c + "_r") for c in feat],
     )
 
-    joined = left.join(right, ["block_key", "lo", "hi"])
+    joined = left.join(right, [join_key, "lo", "hi"])
     pairs = joined.where(
         # cross-bucket pairs meet exactly once (lower bucket always on the
         # left); same-bucket pairs need the total order to dedup + drop selfs
@@ -143,16 +167,40 @@ def candidate_pairs(
             F.when(F.col("uid_l") < F.col("uid_r"), F.col(c + "_l"))
             .otherwise(F.col(c + "_r"))
             .alias(c + "_a")
-            for c in PAIR_FEATURES
+            for c in features
         ],
         *[
             F.when(F.col("uid_l") < F.col("uid_r"), F.col(c + "_r"))
             .otherwise(F.col(c + "_l"))
             .alias(c + "_b")
-            for c in PAIR_FEATURES
+            for c in features
         ],
     )
     return pairs, dropped
+
+
+def candidate_pairs(
+    addresses: DataFrame,
+    heavy_threshold: int = 64,
+    salt_cap: int = 64,
+    max_block_size: int = 100_000,
+) -> Tuple[DataFrame, DataFrame]:
+    """Generate within-block candidate pairs, skew-salted.
+
+    Returns ``(pairs, dropped_blocks)`` where ``pairs`` carries the full
+    string features of both sides (suffixed ``_a``/``_b``) and
+    ``dropped_blocks`` is the metrics table of oversized blocks excluded
+    from matching. For the 10^12-pair hot path prefer
+    :func:`addressit_spark.scoring.score_pairs_fused`, which shuffles
+    interned int surface ids instead of these strings.
+    """
+    return salted_pair_join(
+        addresses,
+        tuple(PAIR_FEATURES),
+        heavy_threshold=heavy_threshold,
+        salt_cap=salt_cap,
+        max_block_size=max_block_size,
+    )
 
 
 def candidate_pairs_unsalted(addresses: DataFrame) -> DataFrame:

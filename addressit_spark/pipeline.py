@@ -5,13 +5,15 @@ The north_rule dataflow over the input_hint table shape::
     documents(doc_id, spans[]) ──posexplode──► spans
       ──pandas_udf parse──► address structs          (Arrow batch boundary)
       ──normalize──► blocking keys (street name + soundex(locality))
-      ──triangle-salted self-join──► candidate pairs  (skew-proof shuffle)
-      ──mapInPandas Jaro-Winkler──► scored edges ≥ τ
+      ──triangle-salted slim self-join──► scored pairs ≥ τ
+        (interned int surface ids in the shuffle; Jaro-Winkler/Levenshtein
+         computed once per distinct surface pair, broadcast back)
       ──large-star/small-star CC──► clusters          (localCheckpoint rounds)
 
 Shuffle inventory (what the plan pays at 10^12 docs): 1 for block sizes,
-1 for the salted pair join, 1 per CC round (log-bounded), 1 for the final
-label agg. Parse and scoring are shuffle-free map stages.
+1 for the salted pair join (slim int payloads), 1 per CC round
+(log-bounded), 1 for the final label agg. Parse and scoring are
+shuffle-free map stages; the surface-sim dims are tiny broadcasts.
 """
 
 from __future__ import annotations
@@ -21,11 +23,11 @@ from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from addressit_spark.blocking import address_table, candidate_pairs
+from addressit_spark.blocking import address_table
 from addressit_spark.cluster import cluster_members, connected_components
 from addressit_spark.checkpoint import StageStore
 from addressit_spark.parse_stage import parse_spans
-from addressit_spark.scoring import DEFAULT_TAU, match_edges, score_pairs
+from addressit_spark.scoring import DEFAULT_TAU, match_edges, score_pairs_fused
 
 
 @dataclass
@@ -58,26 +60,30 @@ def run_pipeline(
         input_fingerprint,
     )
 
-    pairs_holder: Dict[str, DataFrame] = {}
+    dropped_holder: Dict[str, DataFrame] = {}
 
-    def _pairs() -> DataFrame:
-        p, dropped = candidate_pairs(addresses, heavy_threshold=heavy_threshold)
-        pairs_holder["dropped"] = dropped
-        return p
+    def _scored() -> DataFrame:
+        # blocking + scoring fused: the 10^12-row salted shuffle carries
+        # interned int surface ids, never the feature strings
+        sc, dropped = score_pairs_fused(addresses, heavy_threshold=heavy_threshold)
+        dropped_holder["dropped"] = dropped
+        return sc
 
     # pairs/scored are the 10^12-scale volumes: fused into the scoring pass
     # (never pinned) unless a snapshot dir makes them resume points.
-    pairs = store.run("pairs", _pairs, input_fingerprint, materialize=False)
-    dropped = pairs_holder.get("dropped")
+    scored = store.run("scored", _scored, input_fingerprint, materialize=False)
+    dropped = dropped_holder.get("dropped")
     if dropped is None:
         # resumed run: recompute the (tiny) dropped-block metric table
         from addressit_spark.blocking import candidate_pairs as _cp
 
         _, dropped = _cp(addresses, heavy_threshold=heavy_threshold)
 
-    scored = store.run(
-        "scored",
-        lambda: score_pairs(pairs, dims_from=addresses),
+    # the candidate-pair view (evaluation universe) is a projection of the
+    # scored stage — same fused plan, no second pair generation
+    pairs = store.run(
+        "pairs",
+        lambda: scored.select("uid_a", "uid_b", "block_key"),
         input_fingerprint,
         materialize=False,
     )

@@ -478,6 +478,100 @@ def score_pairs(pairs: DataFrame, dims_from: Optional[DataFrame] = None) -> Data
     return p.select("uid_a", "uid_b", "block_key", score.alias("score"))
 
 
+def score_pairs_fused(
+    addresses: DataFrame,
+    heavy_threshold: int = 64,
+    salt_cap: int = 64,
+    max_block_size: int = 100_000,
+) -> "tuple[DataFrame, DataFrame]":
+    """Blocking + scoring fused, with interned surface ids — the hot path.
+
+    Semantically identical to ``score_pairs(candidate_pairs(addresses)[0],
+    dims_from=addresses)`` (bit-identical scores, same pair set — asserted in
+    tests), but the 10^12-row salted shuffle carries
+    ``(block hash, salt, uid, street_id, locality_id, number, unit)`` —
+    two 8-byte ``xxhash64`` surface ids instead of four street/locality
+    strings, and an 8-byte block hash as the join key with the block-key
+    string carried once (left side only) for the output. The
+    Jaro-Winkler/Levenshtein surface-similarity tables are computed once per
+    DISTINCT surface pair (strings, tiny) and broadcast keyed by the same
+    int ids. Cuts shuffle bytes/row roughly in half, which is the difference
+    between memory-bandwidth-bound and CPU-bound on wide executors.
+
+    Surface-id collisions: a 64-bit collision between two distinct surfaces
+    *within one block* would make a pair read the wrong similarity row. With
+    ~10⁸ distinct surfaces the probability of even one global collision is
+    ~3·10⁻⁴, and a collision affects similarity values only (never pair
+    identity — uids stay strings), so the expected error mass at any
+    realistic scale is zero-ish and bounded.
+
+    Returns ``(scored, dropped_blocks)``.
+    """
+    from addressit_spark.blocking import salted_pair_join
+
+    addresses = addresses.withColumns(
+        {
+            c: F.coalesce(F.col(c), F.lit(""))
+            for c in ("street_norm", "locality")
+        }
+    )
+
+    # distinct per-block surface crosses → hybrid sim → int-keyed broadcast
+    def sim_dim(col: str) -> DataFrame:
+        d = addresses.select("block_key", col).distinct()
+        crossed = (
+            d.select("block_key", F.col(col).alias("a"))
+            .join(d.select("block_key", F.col(col).alias("b")), "block_key")
+            .select("a", "b")
+            .distinct()
+        )
+        m = F.greatest(F.length("a"), F.length("b"))
+        lev_sim = F.lit(1.0) - F.levenshtein("a", "b") / m
+        return jw_pairs_table(crossed).select(
+            F.xxhash64("a").alias("id_a"),
+            F.xxhash64("b").alias("id_b"),
+            F.when(m > 0, F.greatest(F.col("jw"), lev_sim))
+            .otherwise(F.col("jw"))
+            .alias("sim"),
+        )
+
+    sj = sim_dim("street_norm").select(
+        F.col("id_a").alias("sid_a"), F.col("id_b").alias("sid_b"),
+        F.col("sim").alias("_jw_street"),
+    )
+    lj = sim_dim("locality").select(
+        F.col("id_a").alias("lid_a"), F.col("id_b").alias("lid_b"),
+        F.col("sim").alias("_jw_loc"),
+    )
+
+    slim = addresses.select(
+        "block_key",
+        "uid",
+        F.xxhash64("street_norm").alias("sid"),
+        F.xxhash64("locality").alias("lid"),
+        "number",
+        "unit",
+    )
+    pairs, dropped = salted_pair_join(
+        slim,
+        ("sid", "lid", "number", "unit"),
+        heavy_threshold=heavy_threshold,
+        salt_cap=salt_cap,
+        max_block_size=max_block_size,
+        hash_block_key=True,
+    )
+    p = pairs.join(F.broadcast(sj), ["sid_a", "sid_b"]).join(
+        F.broadcast(lj), ["lid_a", "lid_b"]
+    )
+    score = (
+        F.lit(W_STREET) * F.col("_jw_street")
+        + F.lit(W_LOCALITY) * F.col("_jw_loc")
+        + F.when(_num_eq_col(), F.lit(W_NUMBER)).otherwise(F.lit(0.0))
+        + F.lit(W_UNIT) * _unit_sim_col()
+    )
+    return p.select("uid_a", "uid_b", "block_key", score.alias("score")), dropped
+
+
 def score_pairs_arrow(pairs: DataFrame) -> DataFrame:
     """Direct Arrow-batched scoring (every pair row through Python).
 

@@ -201,3 +201,23 @@ def test_surface_sim_hybrid_properties():
     )
     assert surface_sim("", "") == 0.0
     assert surface_sim("ABC", "ABC") == 1.0
+
+
+def test_fused_equals_compositional(spark, addresses):
+    """score_pairs_fused == score_pairs(candidate_pairs(...), dims_from=...),
+    same pair set and bit-identical scores."""
+    from addressit_spark.scoring import score_pairs_fused
+
+    pairs, _ = candidate_pairs(addresses)
+    comp = {
+        (r["uid_a"], r["uid_b"]): (r["block_key"], r["score"])
+        for r in score_pairs(pairs, dims_from=addresses).collect()
+    }
+    scored, dropped = score_pairs_fused(addresses)
+    fused = {
+        (r["uid_a"], r["uid_b"]): (r["block_key"], r["score"])
+        for r in scored.collect()
+    }
+    assert dropped.count() == 0
+    assert fused == comp
+    assert len(fused) > 0
