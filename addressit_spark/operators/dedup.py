@@ -121,11 +121,13 @@ def shingle_table(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str
 
     The shingle set is built in an Arrow-batched pandas UDF, not with
     ``transform``/``slice`` column expressions: Spark's higher-order
-    functions evaluate *interpreted* (outside codegen), and the measured
-    cost was ~60 ms/doc vs ~30 µs/doc for the Python kernel — at 100 TB the
-    interpreted HOF path is the difference between hours and weeks. The UDF
-    output is a materialized attribute, so the size/explode projections
-    above it cannot re-evaluate the generator expression.
+    functions evaluate *interpreted* (outside codegen). Measured on the
+    sf0.1 documents table (5k docs, local[8], interleaved best-of-3):
+    HOF explode path 643 µs/doc vs 160 µs/doc through the pandas UDF —
+    a consistent ~4× in favour of the Python kernel, which at 100 TB is
+    the difference between a day and half a week. The UDF output is a
+    materialized attribute, so the size/explode projections above it
+    cannot re-evaluate the generator expression.
     """
     narrow = ensure_parallelism(df.select(id_col, text_col))
 

@@ -20,18 +20,50 @@ from addressit_spark.parse_stage import DOCUMENTS_SCHEMA
 def read_documents(
     spark: SparkSession, path: str, fmt: str = "parquet"
 ) -> DataFrame:
-    """Read a documents table: parquet (self-describing) or json (schema-enforced).
+    """Read a documents table: parquet (self-describing), json
+    (schema-enforced), or a catalog table (``fmt="table"`` — the
+    Iceberg/Hive route; ``path`` is the table identifier).
+
+    The north_star names Iceberg tables as the 10^12-doc source; through a
+    catalog, ``spark.read.table`` gives snapshot isolation + partition/file
+    pruning with the exact same downstream plan as the path-based readers
+    (the catalog itself isn't installable in this sandbox, so the table
+    route is exercised against the session catalog in tests).
 
     CSV cannot carry the nested span array; a CSV input is treated as the
     flat (doc_id, text) shape with a header.
     """
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "table":
+        return spark.read.table(path)
     if fmt == "json":
         return spark.read.schema(DOCUMENTS_SCHEMA).json(path)
     if fmt == "csv":
         return spark.read.option("header", "true").csv(path)
     raise ValueError(f"unsupported documents format: {fmt}")
+
+
+def read_documents_snapshot(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: Optional[int] = None,
+    as_of_timestamp: Optional[str] = None,
+) -> DataFrame:
+    """Time-travel read of a catalog documents table (Iceberg semantics).
+
+    Maps to the DataFrameReader time-travel options Iceberg's Spark runtime
+    honors (``snapshot-id`` / ``as-of-timestamp``); with neither set this is
+    a plain current-snapshot ``read.table``. A resumed pipeline run pins the
+    snapshot id in its lineage so every stage re-reads the same immutable
+    input.
+    """
+    reader = spark.read
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    if as_of_timestamp is not None:
+        reader = reader.option("as-of-timestamp", as_of_timestamp)
+    return reader.table(table)
 
 
 def write_partitioned(
