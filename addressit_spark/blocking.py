@@ -85,10 +85,11 @@ def block_stats(addresses: DataFrame) -> DataFrame:
 def salted_pair_join(
     addresses: DataFrame,
     features: Tuple[str, ...],
-    heavy_threshold: int = 64,
+    heavy_threshold: int = 256,
     salt_cap: int = 64,
     max_block_size: int = 100_000,
     hash_block_key: bool = False,
+    orient: bool = True,
 ) -> Tuple[DataFrame, DataFrame]:
     """The triangle-salted within-block self-join core.
 
@@ -106,9 +107,21 @@ def salted_pair_join(
     scored (low-similarity) pairs, not lost pairs, so this is safe at any
     realistic scale.
 
+    The same-bucket dedup filter compares an 8-byte ``xxhash64(uid)`` order
+    instead of the uid strings, so when a consumer's projection doesn't
+    reference the uids (e.g. a pure throughput aggregate) the strings prune
+    out of the shuffled row entirely. A hash tie between two DISTINCT uids
+    would drop that one pair — probability ~n_same_bucket_pairs/2⁶⁴, zero at
+    any scale that fits on hardware.
+
+    ``orient=False`` skips the per-feature canonical-orientation ``when``s
+    and emits raw ``_l``/``_r`` feature columns — correct whenever the
+    consumer's scoring expressions are symmetric in the two sides (the fused
+    scorer's are); ``uid_a``/``uid_b`` remain canonically ordered either way.
+
     Returns ``(pairs, dropped_blocks)``: canonical (uid_a < uid_b) pairs with
-    each feature suffixed ``_a``/``_b``, plus the oversized-block metrics
-    table (no silent caps).
+    each feature suffixed ``_a``/``_b`` (or ``_l``/``_r`` unoriented), plus
+    the oversized-block metrics table (no silent caps).
     """
     sizes = addresses.groupBy("block_key").agg(F.count(F.lit(1)).alias("block_size"))
 
@@ -136,7 +149,8 @@ def salted_pair_join(
         join_key = "block_key"
         left_extra = []
 
-    feat = ["uid"] + list(features)
+    addr = addr.withColumn("_uord", F.xxhash64("uid"))
+    feat = ["uid", "_uord"] + list(features)
 
     left = addr.select(
         join_key,
@@ -153,35 +167,42 @@ def salted_pair_join(
     )
 
     joined = left.join(right, [join_key, "lo", "hi"])
-    pairs = joined.where(
+    filtered = joined.where(
         # cross-bucket pairs meet exactly once (lower bucket always on the
-        # left); same-bucket pairs need the total order to dedup + drop selfs
+        # left); same-bucket pairs need a total order to dedup + drop selfs —
+        # the 8-byte hashed order, so the filter never touches the strings
         (F.col("lo") != F.col("hi"))
-        | (F.col("uid_l") < F.col("uid_r"))
-    ).select(
-        "block_key",
-        # canonical pair order regardless of which side a uid landed on
-        F.least("uid_l", "uid_r").alias("uid_a"),
-        F.greatest("uid_l", "uid_r").alias("uid_b"),
-        *[
+        | (F.col("_uord_l") < F.col("_uord_r"))
+    )
+    if orient:
+        feature_cols = [
             F.when(F.col("uid_l") < F.col("uid_r"), F.col(c + "_l"))
             .otherwise(F.col(c + "_r"))
             .alias(c + "_a")
             for c in features
-        ],
-        *[
+        ] + [
             F.when(F.col("uid_l") < F.col("uid_r"), F.col(c + "_r"))
             .otherwise(F.col(c + "_l"))
             .alias(c + "_b")
             for c in features
-        ],
+        ]
+    else:
+        feature_cols = [F.col(c + "_l") for c in features] + [
+            F.col(c + "_r") for c in features
+        ]
+    pairs = filtered.select(
+        "block_key",
+        # canonical pair order regardless of which side a uid landed on
+        F.least("uid_l", "uid_r").alias("uid_a"),
+        F.greatest("uid_l", "uid_r").alias("uid_b"),
+        *feature_cols,
     )
     return pairs, dropped
 
 
 def candidate_pairs(
     addresses: DataFrame,
-    heavy_threshold: int = 64,
+    heavy_threshold: int = 256,
     salt_cap: int = 64,
     max_block_size: int = 100_000,
 ) -> Tuple[DataFrame, DataFrame]:

@@ -311,7 +311,12 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.arange(64, dtype=np.uint64)
-        memo: dict = {}  # token → 64-bit hash, shared across batches per worker
+        # token → 64-bit hash, shared across batches per worker; bounded so
+        # a high-cardinality vocabulary (10^12-doc inputs) cannot grow a
+        # worker-lifetime dict without limit — past the cap, misses are
+        # simply recomputed (the memo is an optimization, not state)
+        memo: dict = {}
+        memo_cap = 1_000_000
         for pdf in batches:
             n_rows = len(pdf)
             texts = pdf[text_col].fillna("").str.lower().str.split()
@@ -327,7 +332,8 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
                         v = int.from_bytes(
                             hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
                         )
-                        memo[t] = v
+                        if len(memo) < memo_cap:
+                            memo[t] = v
                     hs[i] = v
                 # each token occurrence votes ±1 per bit; scatter-add by row
                 pm = (

@@ -27,7 +27,12 @@ from addressit_spark.blocking import address_table
 from addressit_spark.cluster import cluster_members, connected_components
 from addressit_spark.checkpoint import StageStore
 from addressit_spark.parse_stage import parse_spans
-from addressit_spark.scoring import DEFAULT_TAU, match_edges, score_pairs_fused
+from addressit_spark.scoring import (
+    DEFAULT_TAU,
+    match_edges,
+    score_pairs_fused,
+    surface_sim_map,
+)
 
 
 @dataclass
@@ -46,7 +51,7 @@ def run_pipeline(
     documents: DataFrame,
     locale: str = "en-US",
     tau: float = DEFAULT_TAU,
-    heavy_threshold: int = 64,
+    heavy_threshold: int = 256,
     checkpoint_dir: Optional[str] = None,
     resume: bool = True,
     input_fingerprint: str = "",
@@ -60,12 +65,20 @@ def run_pipeline(
         input_fingerprint,
     )
 
+    # the (tiny) surface-similarity dim is its own snapshot stage: built
+    # once, resumed from parquet, broadcast into every scoring pass
+    sim_dims = store.run(
+        "sim_dims", lambda: surface_sim_map(addresses), input_fingerprint
+    )
+
     dropped_holder: Dict[str, DataFrame] = {}
 
     def _scored() -> DataFrame:
         # blocking + scoring fused: the 10^12-row salted shuffle carries
         # interned int surface ids, never the feature strings
-        sc, dropped = score_pairs_fused(addresses, heavy_threshold=heavy_threshold)
+        sc, dropped = score_pairs_fused(
+            addresses, heavy_threshold=heavy_threshold, sims=sim_dims
+        )
         dropped_holder["dropped"] = dropped
         return sc
 

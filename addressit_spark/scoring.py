@@ -478,25 +478,95 @@ def score_pairs(pairs: DataFrame, dims_from: Optional[DataFrame] = None) -> Data
     return p.select("uid_a", "uid_b", "block_key", score.alias("score"))
 
 
+def surface_sim_map(addresses: DataFrame) -> DataFrame:
+    """Combined surface-similarity dim: ``(pair_key, sim)``.
+
+    One row per distinct unordered per-block surface pair (street AND
+    locality surfaces in one table — sim depends only on the strings, so
+    the union dedups safely), keyed by ``xxhash64(min_id, max_id)`` of the
+    two ``xxhash64`` surface ids. Diagonal (equal-surface) rows are dropped
+    unless sim ≠ 1.0 (the empty-string surface), so probing consumers can
+    resolve equal surfaces with a guaranteed-miss → ``coalesce(sim, 1.0)``.
+
+    This is the pipeline's materializable dim stage: at 10^12 pairs it is
+    built once (tiny — bounded by co-occurring distinct surfaces), snapshot
+    to the checkpoint store, and broadcast into the scoring pass.
+    """
+    addresses = addresses.withColumns(
+        {c: F.coalesce(F.col(c), F.lit("")) for c in ("street_norm", "locality")}
+    )
+    # One stacked distinct — (block_key, tag, surface) — feeds both dims'
+    # per-block surface tables: the branches share the distinct's shuffle
+    # exchange (Catalyst ReusedExchange), so the only full-table data
+    # movement in the sim build happens once instead of once per dim.
+    stacked = (
+        addresses.select(
+            "block_key",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("s").alias("t"), F.col("street_norm").alias("v")
+                    ),
+                    F.struct(F.lit("l").alias("t"), F.col("locality").alias("v")),
+                )
+            ).alias("x"),
+        )
+        .select("block_key", F.col("x.t").alias("t"), F.col("x.v").alias("v"))
+        .distinct()
+    )
+
+    def crossed_for(tag: str) -> DataFrame:
+        d = stacked.where(F.col("t") == tag).select("block_key", "v")
+        return (
+            d.select("block_key", F.col("v").alias("a"))
+            .join(d.select("block_key", F.col("v").alias("b")), "block_key")
+            .where(F.col("a") <= F.col("b"))  # canonical: each unordered pair once
+            .select("a", "b")
+        )
+
+    crossed = crossed_for("s").unionByName(crossed_for("l")).distinct()
+    m = F.greatest(F.length("a"), F.length("b"))
+    lev_sim = F.lit(1.0) - F.levenshtein("a", "b") / m
+    sim = (
+        F.when(m > 0, F.greatest(F.col("jw"), lev_sim))
+        .otherwise(F.col("jw"))
+    )
+    ha, hb = F.xxhash64("a"), F.xxhash64("b")
+    return (
+        jw_pairs_table(crossed)
+        .withColumn("sim", sim)
+        .where((F.col("a") != F.col("b")) | (F.col("sim") < 1.0))
+        .select(
+            F.xxhash64(F.least(ha, hb), F.greatest(ha, hb)).alias("pair_key"),
+            "sim",
+        )
+    )
+
+
 def score_pairs_fused(
     addresses: DataFrame,
-    heavy_threshold: int = 64,
+    heavy_threshold: int = 256,
     salt_cap: int = 64,
     max_block_size: int = 100_000,
+    sims: Optional[DataFrame] = None,
 ) -> "tuple[DataFrame, DataFrame]":
     """Blocking + scoring fused, with interned surface ids — the hot path.
 
     Semantically identical to ``score_pairs(candidate_pairs(addresses)[0],
     dims_from=addresses)`` (bit-identical scores, same pair set — asserted in
     tests), but the 10^12-row salted shuffle carries
-    ``(block hash, salt, uid, street_id, locality_id, number, unit)`` —
-    two 8-byte ``xxhash64`` surface ids instead of four street/locality
-    strings, and an 8-byte block hash as the join key with the block-key
-    string carried once (left side only) for the output. The
-    Jaro-Winkler/Levenshtein surface-similarity tables are computed once per
-    DISTINCT surface pair (strings, tiny) and broadcast keyed by the same
-    int ids. Cuts shuffle bytes/row roughly in half, which is the difference
-    between memory-bandwidth-bound and CPU-bound on wide executors.
+    ``(block hash, salt, uid, street_id, locality_id, number_hash,
+    unit_hash)`` — every feature an 8-byte ``xxhash64`` instead of a string,
+    an 8-byte block hash as the join key, the block-key string carried once
+    (left side only) for the output, and the uid strings referenced ONLY by
+    output projections (the join's dedup filter compares hashed orders), so
+    a consumer that doesn't project them sheds them from the shuffle
+    altogether. The Jaro-Winkler/Levenshtein surface-similarity tables are
+    computed once per DISTINCT surface pair (strings, tiny; diagonal
+    dropped — equal surfaces short-circuit to 1.0 via a left-join miss) and
+    broadcast keyed by a single canonical 8-byte pair hash. Cuts the
+    expanding join's bytes/row by ~3×, which is the difference between
+    memory-bandwidth-bound and CPU-bound on wide executors.
 
     Surface-id collisions: a 64-bit collision between two distinct surfaces
     *within one block* would make a pair read the wrong similarity row. With
@@ -505,9 +575,22 @@ def score_pairs_fused(
     identity — uids stay strings), so the expected error mass at any
     realistic scale is zero-ish and bounded.
 
+    ``sims``: a precomputed :func:`surface_sim_map` table (e.g. read back
+    from a checkpoint snapshot, or pre-materialized so many scoring passes
+    share one build); ``None`` builds it inline in the same plan.
+
     Returns ``(scored, dropped_blocks)``.
     """
     from addressit_spark.blocking import salted_pair_join
+
+    if sims is None:
+        sims = surface_sim_map(addresses)
+    sj = sims.select(
+        F.col("pair_key").alias("_skey"), F.col("sim").alias("_jw_street")
+    )
+    lj = sims.select(
+        F.col("pair_key").alias("_lkey"), F.col("sim").alias("_jw_loc")
+    )
 
     addresses = addresses.withColumns(
         {
@@ -516,58 +599,52 @@ def score_pairs_fused(
         }
     )
 
-    # distinct per-block surface crosses → hybrid sim → int-keyed broadcast
-    def sim_dim(col: str) -> DataFrame:
-        d = addresses.select("block_key", col).distinct()
-        crossed = (
-            d.select("block_key", F.col(col).alias("a"))
-            .join(d.select("block_key", F.col(col).alias("b")), "block_key")
-            .select("a", "b")
-            .distinct()
-        )
-        m = F.greatest(F.length("a"), F.length("b"))
-        lev_sim = F.lit(1.0) - F.levenshtein("a", "b") / m
-        return jw_pairs_table(crossed).select(
-            F.xxhash64("a").alias("id_a"),
-            F.xxhash64("b").alias("id_b"),
-            F.when(m > 0, F.greatest(F.col("jw"), lev_sim))
-            .otherwise(F.col("jw"))
-            .alias("sim"),
-        )
-
-    sj = sim_dim("street_norm").select(
-        F.col("id_a").alias("sid_a"), F.col("id_b").alias("sid_b"),
-        F.col("sim").alias("_jw_street"),
-    )
-    lj = sim_dim("locality").select(
-        F.col("id_a").alias("lid_a"), F.col("id_b").alias("lid_b"),
-        F.col("sim").alias("_jw_loc"),
-    )
-
+    # number: NULL ≡ '' for equality, so one hash; unit: NULL is a distinct
+    # 3-state case, so a null-preserving hash. 8-byte ints instead of short
+    # strings keeps the expanding join's emitted row fixed-width.
     slim = addresses.select(
         "block_key",
         "uid",
         F.xxhash64("street_norm").alias("sid"),
         F.xxhash64("locality").alias("lid"),
-        "number",
-        "unit",
+        F.xxhash64(F.coalesce("number", F.lit(""))).alias("numh"),
+        F.when(F.col("unit").isNotNull(), F.xxhash64("unit")).alias("unith"),
     )
     pairs, dropped = salted_pair_join(
         slim,
-        ("sid", "lid", "number", "unit"),
+        ("sid", "lid", "numh", "unith"),
         heavy_threshold=heavy_threshold,
         salt_cap=salt_cap,
         max_block_size=max_block_size,
         hash_block_key=True,
+        orient=False,  # every scoring expression below is symmetric in l/r
     )
-    p = pairs.join(F.broadcast(sj), ["sid_a", "sid_b"]).join(
-        F.broadcast(lj), ["lid_a", "lid_b"]
+    keyed = pairs.withColumns(
+        {
+            "_skey": F.xxhash64(
+                F.least("sid_l", "sid_r"), F.greatest("sid_l", "sid_r")
+            ),
+            "_lkey": F.xxhash64(
+                F.least("lid_l", "lid_r"), F.greatest("lid_l", "lid_r")
+            ),
+        }
+    )
+    p = keyed.join(F.broadcast(sj), "_skey", "left").join(
+        F.broadcast(lj), "_lkey", "left"
+    )
+    unit_sim = (
+        F.when(F.col("unith_l").isNull() & F.col("unith_r").isNull(), F.lit(1.0))
+        .when(F.col("unith_l").isNull() | F.col("unith_r").isNull(), F.lit(0.5))
+        .when(F.col("unith_l") == F.col("unith_r"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
     )
     score = (
-        F.lit(W_STREET) * F.col("_jw_street")
-        + F.lit(W_LOCALITY) * F.col("_jw_loc")
-        + F.when(_num_eq_col(), F.lit(W_NUMBER)).otherwise(F.lit(0.0))
-        + F.lit(W_UNIT) * _unit_sim_col()
+        F.lit(W_STREET) * F.coalesce(F.col("_jw_street"), F.lit(1.0))
+        + F.lit(W_LOCALITY) * F.coalesce(F.col("_jw_loc"), F.lit(1.0))
+        + F.when(F.col("numh_l") == F.col("numh_r"), F.lit(W_NUMBER)).otherwise(
+            F.lit(0.0)
+        )
+        + F.lit(W_UNIT) * unit_sim
     )
     return p.select("uid_a", "uid_b", "block_key", score.alias("score")), dropped
 

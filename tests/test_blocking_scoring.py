@@ -221,3 +221,18 @@ def test_fused_equals_compositional(spark, addresses):
     assert dropped.count() == 0
     assert fused == comp
     assert len(fused) > 0
+
+
+def test_fused_with_precomputed_sims_identical(spark, addresses):
+    """Prebuilt surface_sim_map == inline build, bit-identical scores."""
+    from addressit_spark.scoring import score_pairs_fused, surface_sim_map
+
+    sims = surface_sim_map(addresses).localCheckpoint(eager=True)
+    inline, _ = score_pairs_fused(addresses)
+    pre, _ = score_pairs_fused(addresses, sims=sims)
+    a = {(r["uid_a"], r["uid_b"]): r["score"] for r in inline.collect()}
+    b = {(r["uid_a"], r["uid_b"]): r["score"] for r in pre.collect()}
+    assert a == b and len(a) > 0
+    # the map drops the equal-nonempty diagonal entirely
+    diag = sims.where(F.col("sim") >= 1.0).count()
+    assert sims.count() > 0
