@@ -166,7 +166,13 @@ def salted_pair_join(
         *[F.col(c).alias(c + "_r") for c in feat],
     )
 
-    joined = left.join(right, [join_key, "lo", "hi"])
+    # Pin the self-join to sort-merge: both sides are the replicated table
+    # (10^12-row scale — never broadcastable), but a checkpointed/parquet
+    # source can carry a tiny size ESTIMATE, and the planner then broadcasts
+    # the whole replicated side — a ~GB HashedRelation built serially per
+    # executor that neither scales nor survives real data volumes. The hint
+    # makes the physical strategy deterministic at every scale.
+    joined = left.hint("merge").join(right.hint("merge"), [join_key, "lo", "hi"])
     filtered = joined.where(
         # cross-bucket pairs meet exactly once (lower bucket always on the
         # left); same-bucket pairs need a total order to dedup + drop selfs —

@@ -305,13 +305,25 @@ def _run_worker(nexec: int, cores_per: int, cpuset: str, addr_path: str) -> dict
         SG_ADDR=addr_path,
         PYTHONPATH=REPO,
     )
-    proc = subprocess.run(
-        ["taskset", "-c", cpuset, sys.executable, os.path.abspath(__file__),
-         "--scaling-worker"],
-        capture_output=True, text=True, env=env,
+    last_err = ""
+    for attempt in range(3):
+        proc = subprocess.run(
+            ["taskset", "-c", cpuset, sys.executable, os.path.abspath(__file__),
+             "--scaling-worker"],
+            capture_output=True, text=True, env=env,
+        )
+        lines = proc.stdout.strip().splitlines()
+        if lines:
+            try:
+                return json.loads(lines[-1])
+            except json.JSONDecodeError:
+                pass
+        last_err = proc.stderr[-2000:]
+        print(f"# scaling worker nexec={nexec} attempt {attempt} failed, retrying",
+              file=sys.stderr)
+    raise RuntimeError(
+        f"scaling worker nexec={nexec} cpuset={cpuset} failed 3x: {last_err}"
     )
-    line = proc.stdout.strip().splitlines()[-1]
-    return json.loads(line)
 
 
 def run_scaling() -> None:
@@ -356,10 +368,13 @@ def run_scaling() -> None:
         "SPARK_GRAFT_SCALING_SIZES", "300000,600000").split(",")]
     paths = {n: _prepare_addresses(n) for n in sizes}
 
-    # PRIMARY: 1 vs 4 executors × 2 cores, interleaved
+    # PRIMARY: 1 vs 4 executors × 2 cores. Round-robin ALL four
+    # (size × level) configurations inside each trial so a noisy-neighbor
+    # period on this shared host distorts every configuration equally
+    # instead of poisoning one size's best-of.
     primary: dict = {n: {1: [], 4: []} for n in sizes}
-    for n in sizes:
-        for _ in range(trials):
+    for _ in range(trials):
+        for n in sizes:
             primary[n][1].append(_run_worker(1, 2, "0-1", paths[n]))
             primary[n][4].append(_run_worker(4, 2, "0-7", paths[n]))
 
