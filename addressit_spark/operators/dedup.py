@@ -188,8 +188,11 @@ def ngram_jaccard_pairs(
     b = s.select(
         F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
     )
+    # hint('merge'): both sides are the (huge at scale) shingle table —
+    # checkpointed sources can carry tiny size estimates and flip the
+    # planner to broadcasting a whole side; pin the scale-safe strategy
     inter = (
-        a.join(b, "shingle")
+        a.hint("merge").join(b.hint("merge"), "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -278,7 +281,7 @@ def minhash_dup_pairs(
         F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
     )
     cand = (
-        a.join(b, ["band", "bucket"])
+        a.hint("merge").join(b.hint("merge"), ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
@@ -398,7 +401,7 @@ def simhash_dup_pairs(
         F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
     )
     cand = (
-        a.join(b, ["band", "chunk"])
+        a.hint("merge").join(b.hint("merge"), ["band", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()

@@ -321,8 +321,10 @@ def embedding_near_dup_pairs(
     )
     a = sig.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
     b = sig.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    # hint('merge'): self-join of the full signature table — pin sort-merge
+    # so stale checkpoint stats can never broadcast a table-sized side
     return (
-        a.join(b, "bucket")
+        a.hint("merge").join(b.hint("merge"), "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
