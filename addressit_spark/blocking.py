@@ -104,15 +104,18 @@ def salted_pair_join(
     left side only, for the output. A 64-bit block-hash collision merges two
     blocks' candidate spaces — at 10⁹ distinct blocks the expected number of
     colliding block *pairs* is ~0.03, and the consequence is a few extra
-    scored (low-similarity) pairs, not lost pairs, so this is safe at any
-    realistic scale.
+    scored pairs, not lost pairs. Those cross-block pairs score LOW because
+    the fused scorer defaults a sim-map miss on distinct surfaces to 0.0
+    (``scoring.score_pairs_fused``'s miss policy) — so the collision trade
+    is extra work, never wrongly merged clusters.
 
     The same-bucket dedup filter compares an 8-byte ``xxhash64(uid)`` order
-    instead of the uid strings, so when a consumer's projection doesn't
-    reference the uids (e.g. a pure throughput aggregate) the strings prune
-    out of the shuffled row entirely. A hash tie between two DISTINCT uids
-    would drop that one pair — probability ~n_same_bucket_pairs/2⁶⁴, zero at
-    any scale that fits on hardware.
+    first and falls back to the uid strings only on a hash tie (probability
+    ~n_same_bucket_pairs/2⁶⁴), so no distinct-uid pair can ever be silently
+    dropped while the comparison cost stays on the 8-byte ints. The uid
+    columns are referenced by the tie branch, so they ride the shuffle even
+    for consumers that don't project them — the strings are needed for the
+    canonical ``uid_a``/``uid_b`` output anyway.
 
     ``orient=False`` skips the per-feature canonical-orientation ``when``s
     and emits raw ``_l``/``_r`` feature columns — correct whenever the
@@ -176,9 +179,17 @@ def salted_pair_join(
     filtered = joined.where(
         # cross-bucket pairs meet exactly once (lower bucket always on the
         # left); same-bucket pairs need a total order to dedup + drop selfs —
-        # the 8-byte hashed order, so the filter never touches the strings
+        # the 8-byte hashed order, so the filter almost never touches the
+        # strings. A hash TIE between two distinct uids would silently drop
+        # that pair, so ties fall back to the uid string order — the string
+        # comparison only evaluates on ties (~n/2^64 of rows), keeping the
+        # shuffle-pruning benefit while closing the silent-loss hole.
         (F.col("lo") != F.col("hi"))
         | (F.col("_uord_l") < F.col("_uord_r"))
+        | (
+            (F.col("_uord_l") == F.col("_uord_r"))
+            & (F.col("uid_l") < F.col("uid_r"))
+        )
     )
     if orient:
         feature_cols = [

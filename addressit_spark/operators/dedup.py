@@ -164,21 +164,29 @@ def ngram_jaccard_pairs(
     *before* the join — from both the intersection AND the set sizes, i.e.
     the result is the exact Jaccard over the filtered shingle vocabulary
     (stop-word-removal semantics, not a silently biased |A∩B|). The number
-    of distinct dropped shingles is computed and logged (no silent caps);
-    that count is a tiny aggregate, not a per-row collect. ``None`` (the
-    default) keeps the fully exact semantics for oracle comparison.
+    of distinct dropped shingles is logged (no silent caps) from the
+    materialized hot-shingle list, not a dedicated scan. NOTE: construction
+    is EAGER — this builder checkpoints the shingle table (and, with the
+    cap, the hot list) at call time so the self-join branches share one
+    scan; callers get Spark jobs before the first action on the result.
+    ``None`` (the default) keeps the fully exact semantics for oracle
+    comparison.
     """
-    # materialize once — both self-join branches read the same blocks
+    # materialize once — both self-join branches read the same blocks.
+    # NOTE: this builder is eager by design (reuse() checkpoints the shingle
+    # table at construction so the self-join branches share one scan); the
+    # max_shingle_df branch adds one more eager job to materialize the (tiny)
+    # hot-shingle list, which both the logged drop count and the anti-join
+    # then read — no separate count-only scan of the shingle table.
     s = reuse(shingle_table(df, n, text_col, id_col))
     if max_shingle_df is not None:
         dfreq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        hot = dfreq.where(F.col("_df") > max_shingle_df)
-        n_hot = hot.count()
+        hot = reuse(dfreq.where(F.col("_df") > max_shingle_df).select("shingle"))
         logging.getLogger(__name__).warning(
             "ngram_jaccard_pairs: dropping %d distinct shingles with df > %d "
-            "before the similarity self-join", n_hot, max_shingle_df,
+            "before the similarity self-join", hot.count(), max_shingle_df,
         )
-        kept = s.join(hot.select("shingle"), "shingle", "left_anti")
+        kept = s.join(hot, "shingle", "left_anti")
         # set sizes must reflect the filtered vocabulary
         sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
         s = reuse(kept.select("doc_id", "shingle").join(sizes, "doc_id"))

@@ -205,7 +205,11 @@ def jaro_winkler_batch(sa: List[str], sb: List[str]) -> np.ndarray:
         # match count, so comparing the first lc columns is exhaustive
         trans = (m1[:, :lc] != m2[:, :lc]).sum(axis=1) // 2
         msafe = np.maximum(matches, 1)
-        jaro = (matches / len1 + matches / len2 + (matches - trans) / msafe) / 3.0
+        # len guards avoid a 0/0 RuntimeWarning; matches==0 whenever a len
+        # is 0, so the np.where below already owns those rows' values
+        l1safe = np.maximum(len1, 1)
+        l2safe = np.maximum(len2, 1)
+        jaro = (matches / l1safe + matches / l2safe + (matches - trans) / msafe) / 3.0
         jaro = np.where(matches > 0, jaro, 0.0)
         prefix = np.zeros(n, dtype=np.int64)
         live = np.ones(n, dtype=bool)
@@ -217,6 +221,22 @@ def jaro_winkler_batch(sa: List[str], sb: List[str]) -> np.ndarray:
         out[run] = np.where(jaro > 0.7, boosted, jaro)[run]
     out[equal & (len1 > 0)] = 1.0
     return out
+
+
+def _paired_codes(
+    lo_codes: np.ndarray, hi_codes: np.ndarray, n_hi: int
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Unique (lo, hi) code tuples + per-row gather index.
+
+    Pairing dictionary codes arithmetically (``lo * n_hi + hi``) instead of
+    joining the strings with a separator byte means a surface containing ANY
+    byte sequence can never alias into the wrong pair — the round-2 advisor
+    found the old ``\\x01``-join could mis-split a surface containing \\x01.
+    """
+    n_hi = max(n_hi, 1)
+    pair = lo_codes.astype(np.int64) * n_hi + hi_codes.astype(np.int64)
+    uniq, gather = np.unique(pair, return_inverse=True)
+    return uniq // n_hi, uniq % n_hi, gather
 
 
 def _jw_memo(a: pd.Series, b: pd.Series) -> np.ndarray:
@@ -233,14 +253,12 @@ def _jw_memo(a: pd.Series, b: pd.Series) -> np.ndarray:
     swap = a > b
     lo = a.where(~swap, b)
     hi = b.where(~swap, a)
-    codes, uniques = pd.factorize(lo + "\x01" + hi, sort=False)
-    ua: List[str] = []
-    ub: List[str] = []
-    for u in uniques:
-        x, _, y = u.partition("\x01")
-        ua.append(x)
-        ub.append(y)
-    return jaro_winkler_batch(ua, ub)[codes]
+    lo_codes, lo_uniques = pd.factorize(lo, sort=False)
+    hi_codes, hi_uniques = pd.factorize(hi, sort=False)
+    ulo, uhi, gather = _paired_codes(lo_codes, hi_codes, len(hi_uniques))
+    ua = [lo_uniques[i] for i in ulo]
+    ub = [hi_uniques[i] for i in uhi]
+    return jaro_winkler_batch(ua, ub)[gather]
 
 
 # Composite weights: street surface 0.30, locality 0.35, number 0.25, unit 0.10.
@@ -284,32 +302,39 @@ SCORED_SCHEMA = StructType(
 )
 
 
-def _jw_dict_memo(col_a, col_b) -> np.ndarray:
-    """Jaro-Winkler over two pyarrow string arrays via dictionary memoization.
+def _arrow_unique_pairs(col_a, col_b) -> "tuple[List[str], List[str], np.ndarray]":
+    """Unique string pairs of two arrow columns + per-row gather index.
 
-    The pair key (a ++ \\x01 ++ b) is dictionary-encoded *inside Arrow*, so
-    only the UNIQUE string pairs are ever materialized as Python objects —
-    the per-row cost is an int32 gather. Within a block all pairs share a
-    handful of street/locality surfaces, so uniques ≪ rows.
+    Each column is dictionary-encoded *inside Arrow* separately and the code
+    TUPLES are paired arithmetically — only the UNIQUE strings are ever
+    materialized as Python objects, and no separator byte exists for a
+    surface to alias through. Within a block all pairs share a handful of
+    street/locality surfaces, so uniques ≪ rows.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    a = pc.fill_null(col_a, "")
-    b = pc.fill_null(col_b, "")
-    key = pc.binary_join_element_wise(a, b, "\x01")
-    enc = pc.dictionary_encode(key)
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    uniques = enc.dictionary.to_pylist()
-    codes = enc.indices.to_numpy(zero_copy_only=False)
-    ua: List[str] = []
-    ub: List[str] = []
-    for u in uniques:
-        x, _, y = u.partition("\x01")
-        ua.append(x)
-        ub.append(y)
-    return jaro_winkler_batch(ua, ub)[codes]
+    def enc(col):
+        e = pc.dictionary_encode(pc.fill_null(col, ""))
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        return (
+            e.dictionary.to_pylist(),
+            e.indices.to_numpy(zero_copy_only=False),
+        )
+
+    da, ia = enc(col_a)
+    db, ib = enc(col_b)
+    ua_idx, ub_idx, gather = _paired_codes(ia, ib, len(db))
+    ua = [da[i] for i in ua_idx]
+    ub = [db[i] for i in ub_idx]
+    return ua, ub, gather
+
+
+def _jw_dict_memo(col_a, col_b) -> np.ndarray:
+    """Jaro-Winkler over two pyarrow string arrays via dictionary memoization."""
+    ua, ub, gather = _arrow_unique_pairs(col_a, col_b)
+    return jaro_winkler_batch(ua, ub)[gather]
 
 
 def _sim_dict_memo(col_a, col_b) -> np.ndarray:
@@ -320,30 +345,14 @@ def _sim_dict_memo(col_a, col_b) -> np.ndarray:
     block), keeping the arrow path bit-identical to the JVM
     ``F.levenshtein``-based factored path.
     """
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    a = pc.fill_null(col_a, "")
-    b = pc.fill_null(col_b, "")
-    key = pc.binary_join_element_wise(a, b, "\x01")
-    enc = pc.dictionary_encode(key)
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    uniques = enc.dictionary.to_pylist()
-    codes = enc.indices.to_numpy(zero_copy_only=False)
-    ua: List[str] = []
-    ub: List[str] = []
-    for u in uniques:
-        x, _, y = u.partition("\x01")
-        ua.append(x)
-        ub.append(y)
+    ua, ub, gather = _arrow_unique_pairs(col_a, col_b)
     jw = jaro_winkler_batch(ua, ub)
     sims = np.empty(len(ua), dtype=np.float64)
     for i, (x, y) in enumerate(zip(ua, ub)):
         m = max(len(x), len(y))
         # same op order as surface_sim / the JVM column expression
         sims[i] = max(jw[i], 1.0 - levenshtein(x, y) / m) if m else jw[i]
-    return sims[codes]
+    return sims[gather]
 
 
 def jw_pairs_table(pairs_of_strings: DataFrame) -> DataFrame:
@@ -478,7 +487,11 @@ def score_pairs(pairs: DataFrame, dims_from: Optional[DataFrame] = None) -> Data
     return p.select("uid_a", "uid_b", "block_key", score.alias("score"))
 
 
-def surface_sim_map(addresses: DataFrame) -> DataFrame:
+def surface_sim_map(
+    addresses: DataFrame,
+    max_block_size: Optional[int] = None,
+    max_block_surfaces: Optional[int] = None,
+) -> DataFrame:
     """Combined surface-similarity dim: ``(pair_key, sim)``.
 
     One row per distinct unordered per-block surface pair (street AND
@@ -488,10 +501,35 @@ def surface_sim_map(addresses: DataFrame) -> DataFrame:
     unless sim ≠ 1.0 (the empty-string surface), so probing consumers can
     resolve equal surfaces with a guaranteed-miss → ``coalesce(sim, 1.0)``.
 
+    ``max_block_size``: blocks with more rows are anti-joined out *before*
+    the per-block surface cross. Candidate generation drops those blocks
+    anyway (``salted_pair_join``'s cap), so their sim rows are never
+    consumed — without the cap one dirty mega-block would still pay
+    O(distinct_surfaces²) inside this "tiny" dim stage. A surface pair that
+    also co-occurs in a surviving block is still emitted from that block, so
+    surviving pairs lose nothing.
+
+    ``max_block_surfaces``: additionally skips the cross for any block whose
+    DISTINCT surface count (per street/locality tag) exceeds the cap — the
+    skew guard for a block that is under the row cap but degenerate in
+    surface variety. Pairs whose sim rows are skipped read the scorer's
+    conservative miss default (0.0 for distinct surfaces), so this can only
+    lower scores, never merge clusters. ``None`` (both defaults) keeps the
+    exact full map.
+
     This is the pipeline's materializable dim stage: at 10^12 pairs it is
     built once (tiny — bounded by co-occurring distinct surfaces), snapshot
     to the checkpoint store, and broadcast into the scoring pass.
     """
+    if max_block_size is not None:
+        sizes = addresses.groupBy("block_key").agg(
+            F.count(F.lit(1)).alias("_bsize")
+        )
+        addresses = addresses.join(
+            sizes.where(F.col("_bsize") > max_block_size).select("block_key"),
+            "block_key",
+            "left_anti",
+        )
     addresses = addresses.withColumns(
         {c: F.coalesce(F.col(c), F.lit("")) for c in ("street_norm", "locality")}
     )
@@ -514,6 +552,17 @@ def surface_sim_map(addresses: DataFrame) -> DataFrame:
         .select("block_key", F.col("x.t").alias("t"), F.col("x.v").alias("v"))
         .distinct()
     )
+    if max_block_surfaces is not None:
+        scounts = stacked.groupBy("block_key", "t").agg(
+            F.count(F.lit(1)).alias("_ns")
+        )
+        stacked = stacked.join(
+            scounts.where(F.col("_ns") > max_block_surfaces).select(
+                "block_key", "t"
+            ),
+            ["block_key", "t"],
+            "left_anti",
+        )
 
     def crossed_for(tag: str) -> DataFrame:
         d = stacked.where(F.col("t") == tag).select("block_key", "v")
@@ -584,7 +633,9 @@ def score_pairs_fused(
     from addressit_spark.blocking import salted_pair_join
 
     if sims is None:
-        sims = surface_sim_map(addresses)
+        # the same block-size cap candidate generation applies below: sim
+        # rows for dropped blocks would never be consumed
+        sims = surface_sim_map(addresses, max_block_size=max_block_size)
     sj = sims.select(
         F.col("pair_key").alias("_skey"), F.col("sim").alias("_jw_street")
     )
@@ -638,9 +689,23 @@ def score_pairs_fused(
         .when(F.col("unith_l") == F.col("unith_r"), F.lit(1.0))
         .otherwise(F.lit(0.0))
     )
+
+    # Sim-map miss policy: equal interned ids mean equal surfaces — the dim
+    # intentionally omits that diagonal, so a miss resolves to 1.0 (the
+    # empty-string pair, whose true sim is 0.0, IS in the map and wins the
+    # coalesce). For DISTINCT ids a miss means the pair's surfaces never
+    # co-occurred in a surviving block (block-hash collision merging two
+    # blocks, or a stale precomputed ``sims`` snapshot) — that must default
+    # LOW: defaulting to 1.0 would score unrelated pairs as perfect street +
+    # locality matches and let connected components merge their clusters.
+    def sim_or_default(id_l: str, id_r: str, sim: "F.Column") -> "F.Column":
+        return F.when(
+            F.col(id_l) == F.col(id_r), F.coalesce(sim, F.lit(1.0))
+        ).otherwise(F.coalesce(sim, F.lit(0.0)))
+
     score = (
-        F.lit(W_STREET) * F.coalesce(F.col("_jw_street"), F.lit(1.0))
-        + F.lit(W_LOCALITY) * F.coalesce(F.col("_jw_loc"), F.lit(1.0))
+        F.lit(W_STREET) * sim_or_default("sid_l", "sid_r", F.col("_jw_street"))
+        + F.lit(W_LOCALITY) * sim_or_default("lid_l", "lid_r", F.col("_jw_loc"))
         + F.when(F.col("numh_l") == F.col("numh_r"), F.lit(W_NUMBER)).otherwise(
             F.lit(0.0)
         )

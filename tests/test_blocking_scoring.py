@@ -236,3 +236,86 @@ def test_fused_with_precomputed_sims_identical(spark, addresses):
     # the map drops the equal-nonempty diagonal entirely
     diag = sims.where(F.col("sim") >= 1.0).count()
     assert sims.count() > 0
+
+
+def test_sim_map_miss_defaults_low_for_distinct_surfaces(spark):
+    """A sim-map miss on DISTINCT surfaces must score 0.0, not 1.0.
+
+    Round-2 advisor finding: coalesce(sim, 1.0) let any pair absent from the
+    broadcast map (block-hash collision, stale sims snapshot) score street +
+    locality as perfect 1.0 — spuriously HIGH, merging unrelated clusters.
+    An empty sims table simulates the worst-case stale snapshot.
+    """
+    from addressit_spark.scoring import (
+        W_NUMBER, W_STREET, W_LOCALITY, W_UNIT, score_pairs_fused,
+    )
+
+    rows = [
+        # same block, DISTINCT street+locality surfaces, same number, no unit
+        ("b1", "u1", "ELM ST", "SPRINGFIELD", "12", None),
+        ("b1", "u2", "OAK AVE", "SHELBYVILLE", "12", None),
+        # same block, IDENTICAL surfaces (diagonal short-circuit must stay 1.0)
+        ("b2", "u3", "MAIN ST", "OGDEN", "7", None),
+        ("b2", "u4", "MAIN ST", "OGDEN", "7", None),
+    ]
+    addrs = spark.createDataFrame(
+        rows, "block_key string, uid string, street_norm string, "
+              "locality string, number string, unit string"
+    )
+    empty_sims = spark.createDataFrame([], "pair_key long, sim double")
+    scored, _ = score_pairs_fused(addrs, sims=empty_sims)
+    got = {(r["uid_a"], r["uid_b"]): r["score"] for r in scored.collect()}
+    # distinct surfaces + map miss → street/locality contribute 0.0
+    assert abs(got[("u1", "u2")] - (W_NUMBER + W_UNIT * 1.0)) < 1e-12
+    # equal surfaces → miss is the intended diagonal short-circuit → 1.0
+    assert abs(got[("u3", "u4")] - (W_STREET + W_LOCALITY + W_NUMBER + W_UNIT)) < 1e-12
+
+
+def test_surface_sim_map_block_caps(spark):
+    """Oversized blocks are excluded from the sim-dim cross (advisor fix)."""
+    from addressit_spark.scoring import surface_sim_map
+
+    rows = [("bA", "a%d" % i, "ELM ST", "OGDEN", "1", None) for i in range(2)]
+    # oversized block: 5 rows, 2 distinct street surfaces
+    rows += [
+        ("bB", "b%d" % i, "OAK AVE" if i % 2 else "OAK AVENUE", "TROY", "2", None)
+        for i in range(5)
+    ]
+    rows[0] = ("bA", "a0", "ELM STREET", "OGDEN", "1", None)  # bA: 2 surfaces
+    addrs = spark.createDataFrame(
+        rows, "block_key string, uid string, street_norm string, "
+              "locality string, number string, unit string"
+    )
+    full = surface_sim_map(addrs).count()
+    capped = surface_sim_map(addrs, max_block_size=3).count()
+    # bB's (OAK AVE, OAK AVENUE) cross row disappears; bA's survives
+    assert capped < full
+    assert capped >= 1
+    # surface-count cap: bB has 2 distinct street surfaces, bA has 2 —
+    # cap of 1 removes every off-diagonal street pair
+    surf_capped = surface_sim_map(addrs, max_block_surfaces=1).count()
+    assert surf_capped < capped
+
+
+def test_memo_pairs_with_separator_bytes():
+    """Surfaces containing \\x01 must not alias into the wrong pair.
+
+    Round-2 advisor finding: the memoized kernels joined pair keys with
+    \\x01 and split on the FIRST occurrence, so a surface containing \\x01
+    decoded into the wrong (a, b) pair.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from addressit_spark.scoring import (
+        _jw_memo, _sim_dict_memo, jaro_winkler, surface_sim,
+    )
+
+    a = ["A\x01B", "A", "X\x01", "", "MAIN ST"]
+    b = ["C", "\x01BC", "\x01Y", "\x01", "MAIN\x01ST"]
+    got_sim = _sim_dict_memo(pa.array(a), pa.array(b))
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert got_sim[i] == surface_sim(x, y), (x, y)
+    got_jw = _jw_memo(pd.Series(a), pd.Series(b))
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert got_jw[i] == jaro_winkler(*sorted((x, y))), (x, y)
