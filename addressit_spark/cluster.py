@@ -15,10 +15,18 @@ iterative self-join would otherwise stack an exponential plan), and
 convergence is a count+checksum fixpoint over the canonicalized edge set —
 two cheap aggregations per round, no driver-side graph state.
 
-Node ids are kept as orderable strings (span uids) for exactness; at
-10^12-node scale swap in a join-assigned long id (``monotonically_increasing_id``
-over the node table) — xxhash64 ids risk ~n²/2^65 collisions, which at that
-scale is tens of thousands of wrongly merged clusters.
+The iterated rounds run on join-assigned 8-byte long node ids, not the span
+uid strings: a ~40-byte uid would otherwise ride every one of the O(log n)
+shuffles twice per edge (CC is the only log-round iterated shuffle in the
+pipeline, so its per-round bytes dominate at 10^12 nodes). The id dim is
+``monotonically_increasing_id`` over the distinct node table, pinned with an
+eager ``localCheckpoint`` so recomputation cannot reassign ids mid-job.
+Join-assigned ids are collision-free by construction — xxhash64 ids would
+risk ~n²/2^65 collisions, i.e. tens of thousands of wrongly merged clusters
+at 10^12 nodes. Because the long order is arbitrary (NOT the uid order), the
+fixpoint's min-long roots are relabeled afterwards with one groupBy: each
+component's label is the min *uid string* over its members, preserving the
+public contract exactly.
 """
 
 from __future__ import annotations
@@ -69,13 +77,38 @@ def _fingerprint(edges: DataFrame):
     return (row["n"], row["checksum"])
 
 
+def _node_ids(edges: DataFrame) -> DataFrame:
+    """Dim table (uid:string, nid:long) over every node in the edge set.
+
+    ``monotonically_increasing_id`` is deterministic only for a fixed
+    partition layout, so the dim is eagerly localCheckpoint-ed: every
+    downstream read sees one frozen assignment.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("uid"))
+        .union(edges.select(F.col("dst").alias("uid")))
+        .distinct()
+    )
+    return nodes.select(
+        "uid", F.monotonically_increasing_id().alias("nid")
+    ).localCheckpoint(eager=True)
+
+
 def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
     """(src, dst) edge list → (uid, component) with component = min uid.
 
     Nodes that appear in no edge are absent; callers union isolated nodes
     with ``component = uid`` (see pipeline).
     """
-    cur = _canonical(edges).localCheckpoint(eager=True)
+    ids = _node_ids(edges)
+    # translate the edge list to 8-byte ids once; every iterated shuffle
+    # after this moves 16-byte rows instead of two uid strings
+    long_edges = (
+        edges.join(ids.withColumnsRenamed({"uid": "src", "nid": "_s"}), "src")
+        .join(ids.withColumnsRenamed({"uid": "dst", "nid": "_d"}), "dst")
+        .select(F.col("_s").alias("src"), F.col("_d").alias("dst"))
+    )
+    cur = _canonical(long_edges).localCheckpoint(eager=True)
     prev_fp = _fingerprint(cur)
     for _ in range(max_rounds):
         cur = _canonical(_small_star(_large_star(cur))).localCheckpoint(eager=True)
@@ -85,10 +118,15 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         prev_fp = fp
     # Fixpoint is a star forest rooted at each component's min; in canonical
     # (src < dst) order the root is src: members point at src, roots at self.
-    members = cur.select(F.col("dst").alias("uid"), F.col("src").alias("component")).union(
-        cur.select(F.col("src").alias("uid"), F.col("src").alias("component"))
+    members = cur.select(F.col("dst").alias("nid"), F.col("src").alias("comp")).union(
+        cur.select(F.col("src").alias("nid"), F.col("src").alias("comp"))
     )
-    return members.groupBy("uid").agg(F.min("component").alias("component"))
+    members = members.groupBy("nid").agg(F.min("comp").alias("comp"))
+    # long ids are arbitrary order — restore the min-UID-string label with
+    # one relabel pass: uid back on, then min(uid) per long component
+    with_uid = members.join(ids, "nid").select("uid", "comp")
+    roots = with_uid.groupBy("comp").agg(F.min("uid").alias("component"))
+    return with_uid.join(roots, "comp").select("uid", "component")
 
 
 def cluster_members(components: DataFrame, all_nodes: DataFrame) -> DataFrame:
