@@ -263,16 +263,19 @@ def minhash_dup_pairs(
 ) -> DataFrame:
     """LSH-banded near-dup pairs with estimated Jaccard ≥ threshold.
 
-    b bands × r = k/b rows; P(candidate) = 1−(1−J^r)^b. Candidates from the
-    band-bucket join are verified by full-signature agreement (zip_with sum),
-    deduped across bands by groupBy on the pair.
+    b bands × r = k/b rows; P(candidate) = 1−(1−J^r)^b. The band-bucket join
+    carries ONLY (doc_id, band, bucket) — the k-long signatures stay behind
+    in the signature table (the band ride would otherwise shuffle two ~0.5 KB
+    arrays per candidate row, ×bands per doc). Candidate ids are deduped
+    across bands, then both signatures are joined back from the (materialized)
+    signature table for full-signature verification (zip_with sum).
     """
     assert k % bands == 0
     r = k // bands
     sigs = reuse(minhash_signatures(df, k, n, seed, text_col, id_col))
+    # sig feeds the band-hash expressions but is projected OUT of the output
     banded = sigs.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -282,17 +285,22 @@ def minhash_dup_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     cand = (
         a.hint("merge").join(b.hint("merge"), ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # signature join-back: one row per distinct candidate pair per side —
+    # strictly fewer sig bytes moved than the old per-band, pre-dedup ride
+    cand = cand.join(
+        sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")).hint("merge"),
+        "id_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")).hint("merge"),
+        "id_b",
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
