@@ -256,6 +256,11 @@ class _PlainRegexes:
 
 _Battery = Union[_KeyedRegexes, _PlainRegexes]
 
+# The unit battery is locale-independent (/root/reference/parsers/en.js:107-110
+# hardcodes it in the parser driver), so one module-level instance serves every
+# parse() call instead of rebuilding the battery per row.
+_UNIT_BATTERY = _PlainRegexes(_UNIT_REGEXES)
+
 
 class Locale:
     """Frozen locale config: which extractors run and with what lexicons.
@@ -560,7 +565,7 @@ def parse(text: str, locale: Union[str, Locale] = "en-US") -> Dict[str, object]:
     cleaned = _clean(text)
     parts = _split(cleaned)
 
-    _extract(fields, "unit", _PlainRegexes(_UNIT_REGEXES), parts)
+    _extract(fields, "unit", _UNIT_BATTERY, parts)
     _extract_street(fields, parts)
     if loc.state is not None:
         _extract(fields, "state", loc.state, parts)

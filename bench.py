@@ -171,7 +171,45 @@ def run_bench() -> dict:
         **extras,
     }
     spark.stop()
+    out["calibration"] = _calibration()
+    factor = out["calibration"]["host_cpu_factor"]
+    out["queries_normalized"] = {
+        q: round(t * factor, 3) for q, t in timings.items()
+    }
+    out["normalized_total_sec"] = round(total * factor, 3)
     return out
+
+
+# Reference host speeds: median-of-3 pinned probes recorded in round 2
+# (BENCH/BASELINE.md hardware-ceilings table). Dividing a current probe by
+# these yields the host-speed factor; multiplying measured times by the CPU
+# factor gives "reference-host-equivalent" times, so per-round BENCH files
+# are comparable across this host's 2-10x noisy-neighbor swings.
+REF_TRIAD8_GBPS = 69.8
+REF_CPU8_ITERS = 955_515
+
+
+def _calibration() -> dict:
+    """Host-speed block for the default bench JSON (run AFTER spark.stop()).
+
+    Median of 3 probes each: STREAM-add bandwidth and cache-resident CPU at
+    8 processes (the regimes BENCH/BASELINE.md's ceiling table uses). The
+    CPU factor (current/reference) is the primary normalizer — the headline
+    queries at sf0.1 are compute-bound at this scale; the bandwidth factor
+    is reported for the shuffle-heavy entries.
+    """
+    triads = sorted(_mp_triad(8, seconds=2.0) for _ in range(3))
+    cpus = sorted(_mp_cpu(8, seconds=2.0) for _ in range(3))
+    triad = triads[1]
+    cpu = cpus[1] * 2.5  # rescale the 2s probe to the 5s reference window
+    return {
+        "triad8_gbps": triad,
+        "cpu8_iters": int(cpu),
+        "ref_triad8_gbps": REF_TRIAD8_GBPS,
+        "ref_cpu8_iters": REF_CPU8_ITERS,
+        "host_cpu_factor": round(cpu / REF_CPU8_ITERS, 4),
+        "host_bw_factor": round(triad / REF_TRIAD8_GBPS, 4),
+    }
 
 
 def _mp_triad(nproc: int, seconds: float = 5.0) -> float:
