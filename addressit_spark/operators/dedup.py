@@ -39,6 +39,20 @@ from pyspark.sql.types import ArrayType, LongType, StringType, StructField, Stru
 from addressit_spark.operators.text import tokens_col
 from addressit_spark.util import ensure_parallelism, reuse
 
+
+def _pin(df: DataFrame, pin_smj: bool) -> DataFrame:
+    """Optionally pin a join side to sort-merge.
+
+    The table-sized self-joins below default to ``hint("merge")`` because a
+    checkpointed source can carry a tiny size estimate and flip the planner
+    to broadcasting a whole table side — fatal at scale. ``pin_smj=False``
+    removes the pins for provably-small inputs, letting AQE pick broadcast.
+    Measured at sf0.1 (see BENCH/BASELINE.md "SMJ pin cost"): the pins cost
+    roughly nothing on ngram/minhash and a modest constant on simhash at
+    toy scale; identical output rows either way.
+    """
+    return df.hint("merge") if pin_smj else df
+
 _MERSENNE_P = (1 << 31) - 1
 
 
@@ -151,6 +165,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: Optional[int] = None,
+    pin_smj: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs with J ≥ min_jaccard.
 
@@ -196,11 +211,10 @@ def ngram_jaccard_pairs(
     b = s.select(
         F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
     )
-    # hint('merge'): both sides are the (huge at scale) shingle table —
-    # checkpointed sources can carry tiny size estimates and flip the
-    # planner to broadcasting a whole side; pin the scale-safe strategy
+    # both sides are the (huge at scale) shingle table — pin the scale-safe
+    # strategy by default; see _pin for the escape hatch
     inter = (
-        a.hint("merge").join(b.hint("merge"), "shingle")
+        _pin(a, pin_smj).join(_pin(b, pin_smj), "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -260,6 +274,7 @@ def minhash_dup_pairs(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pin_smj: bool = True,
 ) -> DataFrame:
     """LSH-banded near-dup pairs with estimated Jaccard ≥ threshold.
 
@@ -288,7 +303,7 @@ def minhash_dup_pairs(
     a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     cand = (
-        a.hint("merge").join(b.hint("merge"), ["band", "bucket"])
+        _pin(a, pin_smj).join(_pin(b, pin_smj), ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -296,10 +311,10 @@ def minhash_dup_pairs(
     # signature join-back: one row per distinct candidate pair per side —
     # strictly fewer sig bytes moved than the old per-band, pre-dedup ride
     cand = cand.join(
-        sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")).hint("merge"),
+        _pin(sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")), pin_smj),
         "id_a",
     ).join(
-        sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")).hint("merge"),
+        _pin(sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")), pin_smj),
         "id_b",
     )
     est = F.aggregate(
@@ -371,7 +386,11 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def simhash_dup_pairs(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pin_smj: bool = True,
 ) -> DataFrame:
     """Near-dup pairs at Hamming ≤ max_hamming via pigeonhole band join.
 
@@ -417,7 +436,7 @@ def simhash_dup_pairs(
         F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
     )
     cand = (
-        a.hint("merge").join(b.hint("merge"), ["band", "chunk"])
+        _pin(a, pin_smj).join(_pin(b, pin_smj), ["band", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
