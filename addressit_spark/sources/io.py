@@ -13,8 +13,23 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from addressit_spark.parse_stage import DOCUMENTS_SCHEMA
+
+# The flat driver-testdata shape (documents.parquet at every sf). CSV is
+# schemaless, so the reader enforces this instead of inferring — inference
+# would both cost an extra pass over the files and let a dirty shard flip
+# doc_id/n_chars to string mid-corpus.
+FLAT_DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
 
 
 def read_documents(
@@ -40,7 +55,11 @@ def read_documents(
     if fmt == "json":
         return spark.read.schema(DOCUMENTS_SCHEMA).json(path)
     if fmt == "csv":
-        return spark.read.option("header", "true").csv(path)
+        return (
+            spark.read.option("header", "true")
+            .schema(FLAT_DOCUMENTS_SCHEMA)
+            .csv(path)
+        )
     raise ValueError(f"unsupported documents format: {fmt}")
 
 

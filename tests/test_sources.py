@@ -19,3 +19,22 @@ def test_read_documents_table_route(spark):
 def test_read_documents_rejects_unknown_format(spark):
     with pytest.raises(ValueError):
         read_documents(spark, "/tmp/x", fmt="orc2")
+
+
+def test_read_documents_csv_typed(spark, tmp_path):
+    p = str(tmp_path / "docs_csv")
+    src = spark.createDataFrame(
+        [(1, "1 Main St Springfield", "en", "web", 21)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src.coalesce(1).write.option("header", "true").mode("overwrite").csv(p)
+    out = read_documents(spark, p, fmt="csv")
+    types = dict(out.dtypes)
+    # enforced flat schema, not inference: numerics stay typed
+    assert types["doc_id"] == "bigint"
+    assert types["n_chars"] == "bigint"
+    assert types["text"] == "string"
+    row = out.collect()[0]
+    assert (row["doc_id"], row["text"], row["n_chars"]) == (
+        1, "1 Main St Springfield", 21,
+    )
