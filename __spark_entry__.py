@@ -371,7 +371,7 @@ def q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprints (rows-only: xxhash64 is engine-specific)."""
+    """Document fingerprints — md5-based, so oracle-checkable in DuckDB."""
     d = fingerprint(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", "fp64", "fp_prefix", "fp_suffix").orderBy("doc_id")
 
@@ -590,6 +590,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS share
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "doc_fingerprint": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     trim(lower(regexp_replace(text, '[^\p{L}\p{N}]+', ' ', 'g'))) AS norm
+              FROM documents)
+            SELECT doc_id,
+                   substr(md5(norm), 1, 16) AS fp64,
+                   md5(substr(norm, 1, 64)) AS fp_prefix,
+                   md5(substr(reverse(norm), 1, 64)) AS fp_suffix
+            FROM n ORDER BY doc_id
         """,
         "exact_dup_full": """
             SELECT md5(text) AS text_hash,

@@ -149,13 +149,17 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: normalized-text hash + first/last shingle hashes.
 
     ``fp64`` is the exact-dup key on normalized text (case/whitespace/punct
-    folded); ``fp_prefix``/``fp_suffix`` catch head/tail containment. All
-    JVM-side (xxhash64 + regexp), no Python.
+    folded) — the first 16 hex chars (64 bits) of its md5;
+    ``fp_prefix``/``fp_suffix`` catch head/tail containment. All JVM-side
+    (md5 + regexp), no Python. md5 (not xxhash64) so the values are
+    engine-portable: DuckDB's ``md5()`` over the same UTF-8 bytes reproduces
+    them byte-for-byte, which makes this operator oracle-checkable; the
+    engine-internal interned ids elsewhere stay on the cheaper xxhash64.
     """
     norm = F.lower(F.regexp_replace(F.col(text_col), r"[^\p{L}\p{N}]+", " "))
     norm = F.trim(norm)
     return (
-        df.withColumn("fp64", F.xxhash64(norm))
-        .withColumn("fp_prefix", F.xxhash64(F.substring(norm, 1, 64)))
-        .withColumn("fp_suffix", F.xxhash64(F.substring(F.reverse(norm), 1, 64)))
+        df.withColumn("fp64", F.substring(F.md5(norm), 1, 16))
+        .withColumn("fp_prefix", F.md5(F.substring(norm, 1, 64)))
+        .withColumn("fp_suffix", F.md5(F.substring(F.reverse(norm), 1, 64)))
     )
