@@ -1,4 +1,5 @@
 from addressit_spark.streaming.incremental import (  # noqa: F401
+    incremental_er,
     running_block_counts,
     stream_documents,
     streaming_block_stats,

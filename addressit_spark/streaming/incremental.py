@@ -23,7 +23,7 @@ and compare to the batch answers — streaming/batch parity is the invariant.
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Tuple
+from typing import Iterable, Iterator, Optional, Tuple
 
 import pandas as pd
 
@@ -180,4 +180,80 @@ def running_block_counts(
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def incremental_er(
+    documents_stream: DataFrame,
+    snapshot_addresses: DataFrame,
+    state_dir: str,
+    edges_dir: str,
+    checkpoint_dir: str,
+    locale: str = "en-US",
+    tau: Optional[float] = None,
+    heavy_threshold: int = 256,
+):
+    """Streaming ER: each micro-batch runs the UNCHANGED batch kernels
+    (``parse_spans`` → ``address_table`` → ``score_pairs_fused`` →
+    ``match_edges``) against the accumulated address state via
+    ``foreachBatch``.
+
+    ``state_dir`` is seeded with a static snapshot of the existing address
+    table and grows by each batch's new addresses; a batch scores the
+    self-join of (its new addresses ∪ the accumulated addresses in blocks
+    the batch touches) and keeps only edges involving ≥1 new span — so
+    every cross-batch pair is scored exactly once, when its later member
+    arrives. Match edges append to ``edges_dir``.
+
+    Exact-parity invariant (asserted in tests): for any split of a corpus
+    into snapshot + stream batches,
+    ``full_batch_edges == snapshot_self_edges ∪ appended_edges``. Identical
+    scores too — the fused scorer's similarity values depend only on the
+    surface pair, never on the scoring universe.
+
+    At 10^12-doc scale ``state_dir`` is the same partitioned store the batch
+    pipeline checkpoints to (Iceberg in production — append = snapshot
+    commit); the per-batch read prunes to touched blocks only, so batch cost
+    scales with batch size × block density, not corpus size.
+
+    Returns the started ``StreamingQuery``; callers own ``awaitTermination``.
+    """
+    from addressit_spark.blocking import address_table
+    from addressit_spark.scoring import DEFAULT_TAU, match_edges, score_pairs_fused
+
+    eff_tau = DEFAULT_TAU if tau is None else tau
+
+    snapshot_addresses.write.mode("overwrite").parquet(state_dir)
+
+    def process(batch_docs: DataFrame, batch_id: int) -> None:
+        spark = batch_docs.sparkSession
+        new_addrs = address_table(
+            parse_spans(batch_docs.drop("ingest_ts"), locale)
+        ).localCheckpoint(eager=True)
+        if new_addrs.limit(1).count() == 0:
+            return
+        accumulated = spark.read.parquet(state_dir)
+        touched = accumulated.join(
+            new_addrs.select("block_key").distinct(), "block_key", "left_semi"
+        )
+        universe = new_addrs.unionByName(touched.select(*new_addrs.columns))
+        scored, _ = score_pairs_fused(universe, heavy_threshold=heavy_threshold)
+        edges = match_edges(scored, eff_tau)
+        new_uids = new_addrs.select(F.col("uid").alias("_nu"))
+        inc = (
+            edges.join(new_uids, edges.src == F.col("_nu"), "left_semi")
+            .unionByName(edges.join(new_uids, edges.dst == F.col("_nu"), "left_semi"))
+            .distinct()
+        )
+        # order matters: commit this batch's edges BEFORE growing the state,
+        # so a replayed batch (restart between the writes) re-reads the same
+        # accumulated set it scored against
+        inc.write.mode("append").parquet(edges_dir)
+        new_addrs.write.mode("append").parquet(state_dir)
+
+    return (
+        documents_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

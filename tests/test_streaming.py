@@ -116,3 +116,53 @@ def test_running_block_counts_stateful(spark, stream_dir):
         for r in batch.groupBy("block_key").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert final == per_block_batch and len(final) > 0
+
+
+def test_incremental_er_foreachbatch_parity(spark, tmp_path):
+    """incremental_er: batch kernels composed in foreachBatch, exact parity.
+
+    Split the corpus into a snapshot half and a streamed half (forced into
+    several micro-batches via maxFilesPerTrigger); the snapshot's own edges
+    plus the appended incremental edges must equal the full-batch pipeline's
+    edges exactly — every cross-batch pair scored once, none twice.
+    """
+    from addressit_spark.scoring import match_edges, score_pairs_fused
+    from addressit_spark.streaming import incremental_er
+
+    docs = documents_view(synth_corpus(spark, 200, seed=7)).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.crc32("doc_id") % 300),
+    )
+    part_snap = docs.where(F.crc32("doc_id") % 2 == 0)
+    part_stream = docs.where(F.crc32("doc_id") % 2 == 1)
+
+    stream_src = str(tmp_path / "src")
+    part_stream.repartition(3).write.mode("overwrite").parquet(stream_src)
+
+    snap_addrs = address_table(parse_spans(part_snap.drop("ingest_ts")))
+
+    state_dir = str(tmp_path / "state")
+    edges_dir = str(tmp_path / "edges")
+    ckpt_dir = str(tmp_path / "ckpt")
+    sdf = (
+        spark.readStream.schema(part_stream.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    q = incremental_er(sdf, snap_addrs, state_dir, edges_dir, ckpt_dir)
+    q.awaitTermination(300)
+
+    def edge_set(df):
+        return {tuple(sorted((r["src"], r["dst"]))) for r in df.collect()}
+
+    snap_edges = edge_set(match_edges(score_pairs_fused(snap_addrs)[0]))
+    inc_edges = edge_set(spark.read.parquet(edges_dir))
+
+    all_addrs = address_table(parse_spans(docs.drop("ingest_ts")))
+    full_edges = edge_set(match_edges(score_pairs_fused(all_addrs)[0]))
+
+    assert snap_edges | inc_edges == full_edges
+    assert snap_edges.isdisjoint(inc_edges)
+    assert len(inc_edges) > 0
+    # the state dir accumulated every address exactly once
+    assert spark.read.parquet(state_dir).count() == all_addrs.count()
