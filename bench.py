@@ -545,7 +545,43 @@ buckets; blocks > 100k rows dropped with a logged metric); the 10^12-row
 shuffle carries only 8-byte interned feature hashes; similarity is computed
 once per distinct co-occurring surface pair into a cache-resident broadcast
 map (single 8-byte canonical pair-hash key); AQE handles residual skew. No driver-side
-collects in the pair path.
+collects in the pair path. Connected components iterates on join-assigned
+8-byte long node ids (min-uid labels restored by one relabel pass): 2.9×
+fewer shuffle bytes per round with high-entropy uids.
+
+## SMJ pin cost at bench scale (round 3)
+
+The table-sized dedup self-joins pin sort-merge (`hint("merge")`) because a
+checkpointed source can carry a tiny size estimate and flip the planner to
+broadcasting a whole table side — fatal at 100 TB. Cost of that pin at toy
+scale, measured sf0.1 / local[32], interleaved best-of-3, identical output
+rows both ways (`pin_smj=False` removes the pins and lets AQE choose):
+
+| query | rows | pinned (default) | AQE free | pinned/AQE |
+|---|---|---|---|---|
+| ngram_jaccard | 256 | 2.38s | 2.98s | 0.80 |
+| minhash_dups | 256 | 3.28s | 3.76s | 0.87 |
+| simhash_dups | 583 | 1.43s | 1.13s | 1.26 |
+
+The pins are free-to-negative on the shingle/band joins and cost a ~0.3s
+constant on simhash at this scale — kept as the default; `pin_smj=False`
+is the escape hatch for provably-small inputs.
+
+## Host-speed calibration of the per-round BENCH files
+
+This host's noisy-neighbor swings (2-10×, minutes-long) made round-2's
+headline total look 60% slower than round-1's with no code change. From
+round 3 on, default-mode `bench.py` therefore appends a `calibration`
+block after `spark.stop()`: median-of-3 `_mp_triad(8)` (STREAM-add GB/s)
+and `_mp_cpu(8)` (cache-resident iterations, rescaled to the 5 s reference
+window) probes, compared against the round-2 reference values
+(69.8 GB/s / 955,515 iters). `host_cpu_factor = cpu8_iters / 955515` is
+the primary normalizer — the sf0.1 headline queries are compute-bound at
+bench scale — and the JSON also carries `queries_normalized` (each query
+time × the CPU factor, i.e. reference-host-equivalent seconds) plus
+`normalized_total_sec`. Compare BENCH_r{{N}} files on the normalized
+numbers; `host_bw_factor` is reported alongside for the shuffle-heavy
+entries. A factor ≪ 1 means the host was slow that round, not the code.
 
 Raw JSON (best runs):
 
