@@ -528,7 +528,7 @@ the dataflow, per the ceiling probes below.
 DRAM bandwidth is SATURATED by 8 cores ({ceilings["triad_8"]} GB/s; 32 cores
 add only {bw_gain_sat}×); pure CPU scales {cpu_gain}×/4 = {round(cpu_gain/4,2)}
 — the host's absolute parallel ceiling. Stage-level attribution of the fused
-plan (profiled this round, 673M pairs): the probe+score phase scales
+plan (profiled in round 2, 673M pairs): the probe+score phase scales
 **3.5×/4 = 0.87** — at/above the CPU ceiling, i.e. the dataflow adds zero
 serialization — while the salted-join row emission scales ~1.2×, exactly the
 bandwidth ceiling. The end-to-end saturated number is the bandwidth-weighted
