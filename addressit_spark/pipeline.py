@@ -52,6 +52,7 @@ def run_pipeline(
     locale: str = "en-US",
     tau: float = DEFAULT_TAU,
     heavy_threshold: int = 256,
+    max_block_size: int = 100_000,
     checkpoint_dir: Optional[str] = None,
     resume: bool = True,
     input_fingerprint: str = "",
@@ -66,9 +67,14 @@ def run_pipeline(
     )
 
     # the (tiny) surface-similarity dim is its own snapshot stage: built
-    # once, resumed from parquet, broadcast into every scoring pass
+    # once, resumed from parquet, broadcast into every scoring pass. The
+    # same block-size cap candidate generation applies is passed here —
+    # blocks it drops never consume their sim rows, and without the cap one
+    # dirty mega-block would pay O(distinct_surfaces²) in this stage.
     sim_dims = store.run(
-        "sim_dims", lambda: surface_sim_map(addresses), input_fingerprint
+        "sim_dims",
+        lambda: surface_sim_map(addresses, max_block_size=max_block_size),
+        input_fingerprint,
     )
 
     dropped_holder: Dict[str, DataFrame] = {}
@@ -77,7 +83,10 @@ def run_pipeline(
         # blocking + scoring fused: the 10^12-row salted shuffle carries
         # interned int surface ids, never the feature strings
         sc, dropped = score_pairs_fused(
-            addresses, heavy_threshold=heavy_threshold, sims=sim_dims
+            addresses,
+            heavy_threshold=heavy_threshold,
+            max_block_size=max_block_size,
+            sims=sim_dims,
         )
         dropped_holder["dropped"] = dropped
         return sc

@@ -117,7 +117,10 @@ def run_bench() -> dict:
     # scoring pass, so folding it into each trial at bench scale would
     # misattribute a fixed dim-build to the per-pair metric by ~1000×.
     t0 = time.monotonic()
-    sims = surface_sim_map(addresses).localCheckpoint(eager=True)
+    # same block-size cap as the production pipeline's sim stage
+    sims = surface_sim_map(addresses, max_block_size=100_000).localCheckpoint(
+        eager=True
+    )
     timings["er_sim_dims"] = round(time.monotonic() - t0, 3)
 
     # Scoring throughput (the north metric: candidate-pairs-scored/sec),
@@ -293,7 +296,9 @@ def run_scaling_worker() -> dict:
     addresses = spark.read.parquet(os.environ["SG_ADDR"]).localCheckpoint(eager=True)
     n_addr = addresses.count()
     t0 = _t.monotonic()
-    sims = surface_sim_map(addresses).localCheckpoint(eager=True)
+    sims = surface_sim_map(addresses, max_block_size=100_000).localCheckpoint(
+        eager=True
+    )
     sim_sec = round(_t.monotonic() - t0, 3)
     warm, _ = score_pairs_fused(addresses.limit(max(n_addr // 10, 1000)), sims=sims)
     warm.agg(F.sum("score")).collect()
