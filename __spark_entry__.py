@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 from addressit_spark.blocking import address_table, block_stats
 from addressit_spark.evaluation import labeled_pairs, pairwise_f1
 from addressit_spark.operators.dedup import (
+    _perm_params,
     exact_dup_groups,
     minhash_dup_pairs,
     ngram_jaccard_pairs,
@@ -341,6 +342,23 @@ def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_minhash_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-verifiable minhash LSH twin: md5 shingle hash, value-string buckets.
+
+    Same banded algorithm as ``minhash_dups`` with every engine-specific hash
+    swapped for ANSI-reproducible pieces, so DuckDB replays it bit-for-bit
+    (signatures, candidate set, and estimates all oracle-checked).
+    """
+    return minhash_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=16,
+        bands=4,
+        n=3,
+        min_est_jaccard=0.5,
+        portable=True,
+    ).orderBy("id_a", "id_b")
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6).orderBy(
         "id_a", "id_b"
@@ -442,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_full": q_exact_dup_full,
         "exact_dup_prefix": q_exact_dup_prefix,
         "ngram_jaccard": q_ngram_jaccard,
+        "minhash_dups_md5": q_minhash_dups_md5,
         # similarity (SQL oracles)
         "embedding_topk": q_embedding_topk,
         "embedding_dup_exact": q_embedding_dup_exact,
@@ -469,6 +488,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _STOP_SQL = ", ".join("'%s'" % w for w in STOPWORDS)
 
 _TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+# the same seeded affine-permutation constants the Spark portable-minhash
+# query uses (k=16, seed=42), inlined as a VALUES list for the oracle
+_MINHASH_PERM_VALUES = ", ".join(
+    "(%d, %d, %d)" % (i, a, b) for i, (a, b) in enumerate(_perm_params(16, 42))
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -635,6 +660,39 @@ def oracle_sql() -> dict[str, str]:
             HAVING round(count(*) * 1.0 /
                          (any_value(a.set_size) + any_value(b.set_size) - count(*)), 6) >= 0.2
             ORDER BY id_a, id_b
+        """,
+        "minhash_dups_md5": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS tt FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(shset) AS shingle FROM (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tt[i:i+2], ' ')
+                                      for i in range(1, greatest(len(tt)-2, 0)+1)]) AS shset
+                FROM toks)),
+            perms(i, a, b) AS (VALUES {_MINHASH_PERM_VALUES}),
+            sig AS (
+              SELECT doc_id, i,
+                     min((a * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + b)
+                         % 2147483647) AS m
+              FROM sh CROSS JOIN perms GROUP BY doc_id, i),
+            bands AS (
+              SELECT doc_id, i // 4 AS band,
+                     string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
+              FROM sig GROUP BY doc_id, i // 4),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              WHERE a.doc_id < b.doc_id),
+            est AS (
+              SELECT c.id_a, c.id_b,
+                     round(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.id_a
+              JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+              GROUP BY c.id_a, c.id_b)
+            SELECT id_a, id_b, est_jaccard FROM est
+            WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, cos_sim, rank FROM (

@@ -242,15 +242,26 @@ def minhash_signatures(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, sig: array<long>[k]) minhash signatures, all JVM-side.
 
     Shingle → xxhash64 → k affine permutations mod 2³¹−1 → per-doc min of
     each permutation (k partial-aggregating min() exprs — map-side combine).
+
+    ``portable=True`` swaps the shingle hash for the top-60-bits of md5
+    (``conv(substr(md5, 1, 15), 16, 10)``), which any ANSI engine can
+    reproduce — it is how the oracle-backed ``minhash_dups_md5`` query gets
+    bit-identical signatures out of DuckDB. xxhash64 stays the default:
+    one codegen'd instruction stream vs md5's full digest per shingle.
     """
     params = _perm_params(k, seed)
     s = shingle_table(df, n, text_col, id_col)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)).alias("h")
+    if portable:
+        raw = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    else:
+        raw = F.xxhash64("shingle")
+    h = F.pmod(raw, F.lit(_MERSENNE_P)).alias("h")
     hashed = s.select("doc_id", h)
     mins = hashed.groupBy("doc_id").agg(
         *[
@@ -275,6 +286,7 @@ def minhash_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     pin_smj: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH-banded near-dup pairs with estimated Jaccard ≥ threshold.
 
@@ -284,21 +296,29 @@ def minhash_dup_pairs(
     arrays per candidate row, ×bands per doc). Candidate ids are deduped
     across bands, then both signatures are joined back from the (materialized)
     signature table for full-signature verification (zip_with sum).
+
+    ``portable=True`` makes the whole pipeline ANSI-reproducible (the
+    oracle-verified twin): md5-derived shingle hashes, and the band bucket
+    is the raw ``","``-joined value string instead of its xxhash64 — no
+    engine-specific hash anywhere, at the cost of ~4× wider bucket keys in
+    the band shuffle. Production keeps the 8-byte hashed bucket.
     """
     assert k % bands == 0
     r = k // bands
-    sigs = reuse(minhash_signatures(df, k, n, seed, text_col, id_col))
+    sigs = reuse(minhash_signatures(df, k, n, seed, text_col, id_col, portable))
+
+    def _bucket(i: int) -> Column:
+        joined = F.concat_ws(
+            ",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]
+        )
+        return joined if portable else F.xxhash64(joined)
+
     # sig feeds the band-hash expressions but is projected OUT of the output
     banded = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]))
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*[_bucket(i) for i in range(bands)])).alias(
+            "band", "bucket"
+        ),
     )
     a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")

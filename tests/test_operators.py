@@ -71,6 +71,68 @@ def test_minhash_estimate_tracks_exact(spark, dup_docs):
         assert abs(exact[k] - est[k]) < 0.3, (k, exact[k], est[k])
 
 
+def test_minhash_portable_matches_duckdb(spark, dup_docs):
+    """The portable variant's signatures replay bit-for-bit in DuckDB.
+
+    This is the unit-level twin of the driver's minhash_dups_md5 oracle
+    check: same md5-derived shingle hash, same affine perms, so the per-doc
+    signature table must be identical across engines.
+    """
+    import duckdb
+
+    from addressit_spark.operators.dedup import _perm_params, minhash_signatures
+
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(dup_docs, k=16, portable=True).collect()
+    }
+    pdf = dup_docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    perm_values = ", ".join(
+        "(%d, %d, %d)" % (i, a, b) for i, (a, b) in enumerate(_perm_params(16, 42))
+    )
+    oracle = con.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS tt
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(shset) AS shingle FROM (
+            SELECT doc_id,
+                   list_distinct([array_to_string(tt[i:i+2], ' ')
+                                  for i in range(1, greatest(len(tt)-2, 0)+1)]) AS shset
+            FROM toks)),
+        perms(i, a, b) AS (VALUES {perm_values})
+        SELECT doc_id, i,
+               min((a * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + b)
+                   % 2147483647) AS m
+        FROM sh CROSS JOIN perms GROUP BY doc_id, i ORDER BY doc_id, i
+        """
+    ).fetchall()
+    oracle_sigs: dict = {}
+    for doc_id, _i, m in oracle:
+        oracle_sigs.setdefault(doc_id, []).append(m)
+    assert sigs == oracle_sigs
+
+
+def test_minhash_portable_recall(spark, dup_docs):
+    """Portable-hash LSH finds the same planted dups as the xxhash64 path."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(dup_docs, n=3, min_jaccard=0.7).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dup_pairs(
+            dup_docs, k=16, bands=4, min_est_jaccard=0.5, portable=True
+        ).collect()
+    }
+    recall = len(exact & est) / len(exact)
+    assert recall >= 0.9, (recall, exact - est)
+
+
 def test_simhash_exact_dups_are_hamming_zero(spark, dup_docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
