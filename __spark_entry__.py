@@ -365,6 +365,13 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-verifiable simhash twin: 60-bit md5 token hash, no UDF anywhere."""
+    return simhash_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, portable=True
+    ).orderBy("id_a", "id_b")
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
@@ -461,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_prefix": q_exact_dup_prefix,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dups_md5": q_minhash_dups_md5,
+        "simhash_dups_md5": q_simhash_dups_md5,
         # similarity (SQL oracles)
         "embedding_topk": q_embedding_topk,
         "embedding_dup_exact": q_embedding_dup_exact,
@@ -693,6 +701,33 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY c.id_a, c.id_b)
             SELECT id_a, id_b, est_jaccard FROM est
             WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b
+        """,
+        "simhash_dups_md5": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        t -> t != '')) AS tok
+              FROM documents),
+            h AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+            votes AS (
+              SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN range(60) t(i) GROUP BY doc_id, i),
+            sig AS (
+              SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+              FROM votes GROUP BY doc_id),
+            bandspec(band, off) AS (VALUES (0, 0), (1, 15), (2, 30), (3, 45)),
+            banded AS (
+              SELECT doc_id, simhash, band, (simhash >> off) & 32767 AS chunk
+              FROM sig CROSS JOIN bandspec),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.simhash AS sh_a, b.simhash AS sh_b
+              FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+              WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+            ORDER BY id_a, id_b
         """,
         "embedding_topk": """
             SELECT query_id, neighbor_id, cos_sim, rank FROM (

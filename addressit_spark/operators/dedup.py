@@ -405,12 +405,62 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return narrow.mapInPandas(kernel, schema=_SIMHASH_SCHEMA)
 
 
+_PORTABLE_SIMHASH_BITS = 60
+
+
+def simhash_table_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit ANSI-reproducible SimHash — pure column expressions, no UDF.
+
+    Token hash = top 15 hex chars of md5 (60 bits, signed-long-safe), which
+    DuckDB reproduces via ``('0x' || substr(md5(tok), 1, 15))::BIGINT`` — so
+    the oracle can replay the signature bit-for-bit. The vote stage is one
+    groupBy with 60 partially-aggregating ``sum(±1)`` exprs (map-side
+    combine; same shuffle shape as the minhash signature stage), entirely
+    inside codegen — at scale this is *cheaper* than the BLAKE2 kernel,
+    which pays an Arrow round-trip. The production ``simhash_table`` keeps
+    64 bits; docs with zero tokens are absent here (explode drops them)
+    rather than signature-0.
+    """
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    hs = toks.select(id_col, h.alias("h"))
+    votes = hs.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias("v%d" % i)
+            for i in range(_PORTABLE_SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for i in range(_PORTABLE_SIMHASH_BITS):
+        bit = F.when(F.col("v%d" % i) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return votes.select(id_col, sig.alias("simhash"))
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     pin_smj: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs at Hamming ≤ max_hamming via pigeonhole band join.
 
@@ -424,6 +474,10 @@ def simhash_dup_pairs(
     The pigeonhole argument needs ``max_hamming + 1`` bands of ≥ 1 bit each,
     so the supported radius range is 0..15 (16 bands × 4 bits over 64 bits);
     larger radii would silently lose the recall guarantee, so they raise.
+
+    ``portable=True`` swaps in the 60-bit md5 signature
+    (``simhash_table_portable``) so the whole query — signature, bands,
+    verified Hamming — replays in an ANSI oracle.
     """
     if not 0 <= max_hamming <= 15:
         raise ValueError(
@@ -431,10 +485,14 @@ def simhash_dup_pairs(
             "needs max_hamming+1 non-empty bands (got %d)" % max_hamming
         )
     n_bands = max_hamming + 1
-    # split 64 bits as evenly as possible (e.g. 7 bands → 10,9,9,9,9,9,9)
-    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    nbits = _PORTABLE_SIMHASH_BITS if portable else 64
+    # split the bits as evenly as possible (e.g. 64 / 7 bands → 10,9,9,9,9,9,9)
+    widths = [
+        nbits // n_bands + (1 if i < nbits % n_bands else 0) for i in range(n_bands)
+    ]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sh = reuse(simhash_table(df, text_col, id_col))
+    table = simhash_table_portable if portable else simhash_table
+    sh = reuse(table(df, text_col, id_col))
     banded = sh.select(
         "doc_id",
         "simhash",

@@ -133,6 +133,52 @@ def test_minhash_portable_recall(spark, dup_docs):
     assert recall >= 0.9, (recall, exact - est)
 
 
+def test_simhash_portable_matches_duckdb(spark, dup_docs):
+    """60-bit portable simhash signatures replay bit-for-bit in DuckDB."""
+    import duckdb
+
+    from addressit_spark.operators.dedup import simhash_table_portable
+
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_table_portable(dup_docs).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", dup_docs.toPandas())
+    oracle = dict(
+        con.sql(
+            r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        t -> t != '')) AS tok
+              FROM documents),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+            votes AS (
+              SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN range(60) t(i) GROUP BY doc_id, i)
+            SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    assert sigs == oracle
+
+
+def test_simhash_portable_finds_planted_dups(spark, dup_docs):
+    """Portable simhash pairs behave like the production 64-bit path."""
+    from addressit_spark.operators.dedup import simhash_dup_pairs as sdp
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sdp(dup_docs, max_hamming=3, portable=True).collect()
+    }
+    # exact duplicates (suffix "" twice per base doc) must be hamming 0
+    for base in range(4):
+        a, b = base * 4, base * 4 + 1
+        assert (a, b) in pairs, (a, b, pairs)
+
+
 def test_simhash_exact_dups_are_hamming_zero(spark, dup_docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
