@@ -44,6 +44,7 @@ from addressit_spark.operators.similarity import (
     lsh_topk,
 )
 from addressit_spark.operators.text import (
+    _LANG_PROFILES,
     STOPWORDS,
     fingerprint,
     with_lang_id,
@@ -504,6 +505,20 @@ _MINHASH_PERM_VALUES = ", ".join(
 )
 
 
+def _lang_score_sql(grams: list) -> str:
+    """Non-overlapping gram-count sum, SQL edition of ``Series.str.count``.
+
+    ``str.count``/``str.replace`` both consume matches left-to-right without
+    overlap, so ``(len(s) - len(replace(s, g, ''))) // len(g)`` is the exact
+    same count. Generated from the same ``_LANG_PROFILES`` dict the Spark
+    kernel reads, so the two can't drift.
+    """
+    return " + ".join(
+        "(length(low) - length(replace(low, '%s', ''))) // %d" % (g, len(g))
+        for g in grams
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -618,6 +633,31 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(quality_score), 4) AS avg_quality,
                    CAST(sum(CASE WHEN quality_score >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
             FROM q GROUP BY source ORDER BY source
+        """,
+        "lang_id": f"""
+            WITH s AS (
+              SELECT doc_id, coalesce(text, '') AS t, lower(coalesce(text, '')) AS low
+              FROM documents),
+            sc AS (
+              SELECT doc_id, length(t) AS n,
+                     len(regexp_extract_all(t, '[一-鿿]')) AS n_cjk,
+                     {_lang_score_sql(_LANG_PROFILES["en"])} AS s_en,
+                     {_lang_score_sql(_LANG_PROFILES["de"])} AS s_de,
+                     {_lang_score_sql(_LANG_PROFILES["es"])} AS s_es,
+                     {_lang_score_sql(_LANG_PROFILES["fr"])} AS s_fr
+              FROM s),
+            pred AS (
+              SELECT doc_id,
+                     CASE WHEN n = 0 THEN 'und'
+                          WHEN n_cjk > n * 0.2 THEN 'zh'
+                          WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                          WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                          WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                          WHEN s_es >= s_fr THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM sc)
+            SELECT lang_pred, count(*) AS n_docs FROM pred
+            GROUP BY lang_pred ORDER BY lang_pred
         """,
         "lang_share": """
             SELECT lang, count(*) AS n_docs,

@@ -357,3 +357,56 @@ def test_lang_id_vectorized_matches_scalar_kernel():
     got = _lang_id_batch(pd.Series(texts, dtype=object)).tolist()
     want = [_lang_id_kernel(t) if t is not None else "und" for t in texts]
     assert got == want
+
+
+def test_lang_id_matches_sql_oracle_per_doc():
+    """The SQL replica (replace-length gram counts) matches per doc, not
+    just in aggregate — catching compensating misclassifications the driver's
+    grouped lang_id check could mask."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from addressit_spark.operators.text import _LANG_PROFILES, _lang_id_batch
+
+    texts = [
+        None,
+        "",
+        "the cat and the dog in the house",
+        "der hund und die katze in der schule",
+        "el que de la casa los entos para",
+        "les que des maisons entre ent ion",
+        "这是一个中文文档的例子这是一个中文文档",
+        "mixed 这是 english and 中文 but mostly english the and of",
+        "zzz qqq vvv",
+        "the the the und und und",
+        "ent ent ent ent",  # hits en/es/fr profiles equally → first-wins en
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    want = _lang_id_batch(pdf["text"]).tolist()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = f"""
+        WITH s AS (
+          SELECT doc_id, coalesce(text, '') AS t, lower(coalesce(text, '')) AS low
+          FROM documents),
+        sc AS (
+          SELECT doc_id, length(t) AS n,
+                 len(regexp_extract_all(t, '[一-鿿]')) AS n_cjk,
+                 {e._lang_score_sql(_LANG_PROFILES["en"])} AS s_en,
+                 {e._lang_score_sql(_LANG_PROFILES["de"])} AS s_de,
+                 {e._lang_score_sql(_LANG_PROFILES["es"])} AS s_es,
+                 {e._lang_score_sql(_LANG_PROFILES["fr"])} AS s_fr
+          FROM s)
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN 'und'
+                    WHEN n_cjk > n * 0.2 THEN 'zh'
+                    WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM sc ORDER BY doc_id
+    """
+    got = [r[1] for r in con.sql(sql).fetchall()]
+    assert got == want
