@@ -45,8 +45,10 @@ from addressit_spark.operators.similarity import (
 )
 from addressit_spark.operators.text import (
     _LANG_PROFILES,
+    BPE_TOKEN_PATTERN,
     STOPWORDS,
     fingerprint,
+    with_bpe_token_count,
     with_lang_id,
     with_token_stats,
     quality_score,
@@ -227,6 +229,20 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("token_count").alias("total_tokens"),
             F.round(F.avg("token_count"), 4).alias("avg_tokens"),
             F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE-ish token budget (the training-data sizing query)."""
+    d = with_bpe_token_count(_t(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_token_count").alias("total_bpe_tokens"),
+            F.round(F.avg("bpe_token_count"), 4).alias("avg_bpe_tokens"),
         )
         .orderBy("lang")
     )
@@ -462,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": q_revenue_rollup,
         # text analysis (SQL oracles)
         "doc_token_stats": q_doc_token_stats,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_quality": q_doc_quality,
         "lang_share": q_lang_share,
         # dedup (SQL oracles where portable)
@@ -606,6 +623,19 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(stopword_ratio), 4) AS avg_stopword_ratio
             FROM t GROUP BY lang ORDER BY lang
         """,
+        "doc_bpe_tokens": """
+            WITH t AS (
+              SELECT lang,
+                     len(regexp_extract_all(coalesce(text, ''),
+                         '%s')) AS bpe_token_count
+              FROM documents)
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(bpe_token_count) AS BIGINT) AS total_bpe_tokens,
+                   round(avg(bpe_token_count), 4) AS avg_bpe_tokens
+            FROM t GROUP BY lang ORDER BY lang
+        """
+        % BPE_TOKEN_PATTERN.replace("'", "''"),
         "doc_quality": f"""
             WITH t AS (
               SELECT source,

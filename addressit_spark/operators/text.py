@@ -55,6 +55,28 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the lookahead-free subset
+# both Java regex (Spark) and RE2 (DuckDB) match identically — contractions,
+# space-absorbing letter/digit/punct runs, residual whitespace. The real BPE
+# merge table is irrelevant for *counting*: token count == pre-token count.
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``bpe_token_count``: BPE-ish subword-boundary token count.
+
+    One JVM-side ``regexp_count`` — no UDF, codegen-friendly, and
+    engine-portable (parity with DuckDB's ``regexp_extract_all`` length is
+    oracle-checked by the ``doc_bpe_tokens`` driver query).
+    """
+    return df.withColumn(
+        "bpe_token_count",
+        F.regexp_count(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_TOKEN_PATTERN)
+        ),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality score in [0,1] from length/stopword/shape signals.
 

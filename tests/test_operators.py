@@ -359,6 +359,26 @@ def test_lang_id_vectorized_matches_scalar_kernel():
     assert got == want
 
 
+def test_bpe_token_count_known_values(spark):
+    """BPE-ish pre-token counts on hand-counted examples."""
+    from addressit_spark.operators.text import with_bpe_token_count
+
+    rows = [
+        # "Hello"," world",","," it","'s"," a"," test","-","case" = 9
+        (0, "Hello world, it's a test-case"),
+        (1, ""),        # no matches
+        (2, None),      # null-safe → 0
+        (3, "a"),       # single letter run
+        (4, "   "),     # one whitespace run
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bpe_token_count"]
+        for r in with_bpe_token_count(df).collect()
+    }
+    assert got == {0: 9, 1: 0, 2: 0, 3: 1, 4: 1}
+
+
 def test_lang_id_matches_sql_oracle_per_doc():
     """The SQL replica (replace-length gram counts) matches per doc, not
     just in aggregate — catching compensating misclassifications the driver's
