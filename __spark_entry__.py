@@ -536,6 +536,67 @@ def _lang_score_sql(grams: list) -> str:
     )
 
 
+# Shared oracle fragments. The unit tests (tests/test_operators.py) import
+# these same strings for their per-doc DuckDB parity checks, so the tests
+# always validate the fragment the driver oracle actually runs — a private
+# copy in the test could silently drift from it.
+
+# per-doc n/n_cjk/per-language scores over `documents(doc_id, text)`
+_LANG_SCORES_CTE = f"""
+            WITH s AS (
+              SELECT doc_id, coalesce(text, '') AS t, lower(coalesce(text, '')) AS low
+              FROM documents),
+            sc AS (
+              SELECT doc_id, length(t) AS n,
+                     len(regexp_extract_all(t, '[一-鿿]')) AS n_cjk,
+                     {_lang_score_sql(_LANG_PROFILES["en"])} AS s_en,
+                     {_lang_score_sql(_LANG_PROFILES["de"])} AS s_de,
+                     {_lang_score_sql(_LANG_PROFILES["es"])} AS s_es,
+                     {_lang_score_sql(_LANG_PROFILES["fr"])} AS s_fr
+              FROM s)"""
+
+# first-wins argmax over the profile order (en, de, es, fr), CJK and
+# empty-text overrides — the exact tie-break ladder of _lang_id_kernel
+_LANG_PRED_CASE = """CASE WHEN n = 0 THEN 'und'
+                          WHEN n_cjk > n * 0.2 THEN 'zh'
+                          WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                          WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                          WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                          WHEN s_es >= s_fr THEN 'es'
+                          ELSE 'fr' END"""
+
+# (doc_id, i, m): portable-minhash signature rows over `documents`
+_MINHASH_SIG_CTES = f"""toks AS (
+              SELECT doc_id, {_TOKENS} AS tt FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(shset) AS shingle FROM (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tt[i:i+2], ' ')
+                                      for i in range(1, greatest(len(tt)-2, 0)+1)]) AS shset
+                FROM toks)),
+            perms(i, a, b) AS (VALUES {_MINHASH_PERM_VALUES}),
+            sig AS (
+              SELECT doc_id, i,
+                     min((a * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + b)
+                         % 2147483647) AS m
+              FROM sh CROSS JOIN perms GROUP BY doc_id, i)"""
+
+# (doc_id, simhash): portable 60-bit simhash signatures over `documents`
+_SIMHASH_SIG_CTES = r"""toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        t -> t != '')) AS tok
+              FROM documents),
+            h AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+            votes AS (
+              SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN range(60) t(i) GROUP BY doc_id, i),
+            sig AS (
+              SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+              FROM votes GROUP BY doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -665,26 +726,10 @@ def oracle_sql() -> dict[str, str]:
             FROM q GROUP BY source ORDER BY source
         """,
         "lang_id": f"""
-            WITH s AS (
-              SELECT doc_id, coalesce(text, '') AS t, lower(coalesce(text, '')) AS low
-              FROM documents),
-            sc AS (
-              SELECT doc_id, length(t) AS n,
-                     len(regexp_extract_all(t, '[一-鿿]')) AS n_cjk,
-                     {_lang_score_sql(_LANG_PROFILES["en"])} AS s_en,
-                     {_lang_score_sql(_LANG_PROFILES["de"])} AS s_de,
-                     {_lang_score_sql(_LANG_PROFILES["es"])} AS s_es,
-                     {_lang_score_sql(_LANG_PROFILES["fr"])} AS s_fr
-              FROM s),
+            {_LANG_SCORES_CTE},
             pred AS (
               SELECT doc_id,
-                     CASE WHEN n = 0 THEN 'und'
-                          WHEN n_cjk > n * 0.2 THEN 'zh'
-                          WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
-                          WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-                          WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-                          WHEN s_es >= s_fr THEN 'es'
-                          ELSE 'fr' END AS lang_pred
+                     {_LANG_PRED_CASE} AS lang_pred
               FROM sc)
             SELECT lang_pred, count(*) AS n_docs FROM pred
             GROUP BY lang_pred ORDER BY lang_pred
@@ -702,7 +747,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    substr(md5(norm), 1, 16) AS fp64,
                    md5(substr(norm, 1, 64)) AS fp_prefix,
-                   md5(substr(reverse(norm), 1, 64)) AS fp_suffix
+                   md5(right(norm, 64)) AS fp_suffix
             FROM n ORDER BY doc_id
         """,
         "exact_dup_full": """
@@ -740,20 +785,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "minhash_dups_md5": f"""
-            WITH toks AS (
-              SELECT doc_id, {_TOKENS} AS tt FROM documents),
-            sh AS (
-              SELECT doc_id, unnest(shset) AS shingle FROM (
-                SELECT doc_id,
-                       list_distinct([array_to_string(tt[i:i+2], ' ')
-                                      for i in range(1, greatest(len(tt)-2, 0)+1)]) AS shset
-                FROM toks)),
-            perms(i, a, b) AS (VALUES {_MINHASH_PERM_VALUES}),
-            sig AS (
-              SELECT doc_id, i,
-                     min((a * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + b)
-                         % 2147483647) AS m
-              FROM sh CROSS JOIN perms GROUP BY doc_id, i),
+            WITH {_MINHASH_SIG_CTES},
             bands AS (
               SELECT doc_id, i // 4 AS band,
                      string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
@@ -772,20 +804,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, est_jaccard FROM est
             WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b
         """,
-        "simhash_dups_md5": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                        t -> t != '')) AS tok
-              FROM documents),
-            h AS (
-              SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
-            votes AS (
-              SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-              FROM h CROSS JOIN range(60) t(i) GROUP BY doc_id, i),
-            sig AS (
-              SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
-              FROM votes GROUP BY doc_id),
+        "simhash_dups_md5": f"""
+            WITH {_SIMHASH_SIG_CTES},
             bandspec(band, off) AS (VALUES (0, 0), (1, 15), (2, 30), (3, 45)),
             banded AS (
               SELECT doc_id, simhash, band, (simhash >> off) & 32767 AS chunk

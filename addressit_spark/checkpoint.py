@@ -76,14 +76,25 @@ class StageStore:
         path = os.path.join(self.base_dir, stage)
         meta_path = os.path.join(self.base_dir, stage + "_metrics.json")
         if self.resume and os.path.exists(_success_marker(path)):
-            df = self.spark.read.parquet(path)
             meta = {}
             if os.path.exists(meta_path):
                 with open(meta_path) as fh:
                     meta = json.load(fh)
-            meta["resumed"] = True
-            self.lineage[stage] = meta
-            return df
+            # resume only a snapshot proven to be THIS computation: the
+            # recorded fingerprint (input identity + stage parameters, per
+            # run_pipeline) must match. A mismatched snapshot — same dir,
+            # different data or e.g. a different max_block_size — would
+            # silently poison every downstream stage (a stale sim map
+            # zeroes similarities under the distinct-id miss policy), so
+            # it is recomputed and overwritten instead. Snapshots written
+            # before fingerprints were recorded have no claim to verify
+            # and resume as before.
+            recorded = meta.get("input_fingerprint")
+            if recorded is None or recorded == input_fingerprint:
+                df = self.spark.read.parquet(path)
+                meta["resumed"] = True
+                self.lineage[stage] = meta
+                return df
 
         df = fn()
         df.write.mode("overwrite").parquet(path)

@@ -183,5 +183,10 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("fp64", F.substring(F.md5(norm), 1, 16))
         .withColumn("fp_prefix", F.md5(F.substring(norm, 1, 64)))
-        .withColumn("fp_suffix", F.md5(F.substring(F.reverse(norm), 1, 64)))
+        # right(), not reverse()+prefix: DuckDB's reverse is grapheme-
+        # cluster-aware while Spark's is code-point-based, so reversed
+        # strings diverge on multi-codepoint clusters (e.g. decomposed
+        # Hangul jamo) and would break the oracle's bit-parity; right()
+        # is code-point-counted in both engines.
+        .withColumn("fp_suffix", F.md5(F.right(norm, F.lit(64))))
     )

@@ -60,10 +60,20 @@ def run_pipeline(
     """Run the full ER pipeline; snapshot each stage when checkpoint_dir set."""
     store = StageStore(spark, checkpoint_dir, resume=resume)
 
+    def _fp(**params: object) -> str:
+        # stage fingerprint = input identity + the parameters that stage's
+        # output depends on, so changing e.g. max_block_size between resumed
+        # runs recomputes the affected snapshots instead of silently reusing
+        # tables built under the old parameters (StageStore verifies this
+        # on resume).
+        return input_fingerprint + "|" + ",".join(
+            "%s=%r" % kv for kv in sorted(params.items())
+        )
+
     addresses = store.run(
         "addresses",
         lambda: address_table(parse_spans(documents, locale)),
-        input_fingerprint,
+        _fp(locale=locale),
     )
 
     # the (tiny) surface-similarity dim is its own snapshot stage: built
@@ -74,7 +84,7 @@ def run_pipeline(
     sim_dims = store.run(
         "sim_dims",
         lambda: surface_sim_map(addresses, max_block_size=max_block_size),
-        input_fingerprint,
+        _fp(locale=locale, max_block_size=max_block_size),
     )
 
     dropped_holder: Dict[str, DataFrame] = {}
@@ -91,29 +101,51 @@ def run_pipeline(
         dropped_holder["dropped"] = dropped
         return sc
 
+    score_fp = _fp(
+        locale=locale,
+        heavy_threshold=heavy_threshold,
+        max_block_size=max_block_size,
+    )
     # pairs/scored are the 10^12-scale volumes: fused into the scoring pass
     # (never pinned) unless a snapshot dir makes them resume points.
-    scored = store.run("scored", _scored, input_fingerprint, materialize=False)
+    scored = store.run("scored", _scored, score_fp, materialize=False)
     dropped = dropped_holder.get("dropped")
     if dropped is None:
-        # resumed run: recompute the (tiny) dropped-block metric table
+        # resumed run: recompute the (tiny) dropped-block metric table with
+        # the same cap scoring used, or the metric misreports what was kept
         from addressit_spark.blocking import candidate_pairs as _cp
 
-        _, dropped = _cp(addresses, heavy_threshold=heavy_threshold)
+        _, dropped = _cp(
+            addresses,
+            heavy_threshold=heavy_threshold,
+            max_block_size=max_block_size,
+        )
 
     # the candidate-pair view (evaluation universe) is a projection of the
     # scored stage — same fused plan, no second pair generation
     pairs = store.run(
         "pairs",
         lambda: scored.select("uid_a", "uid_b", "block_key"),
-        input_fingerprint,
+        score_fp,
         materialize=False,
     )
-    edges = store.run("edges", lambda: match_edges(scored, tau), input_fingerprint)
+    edges = store.run(
+        "edges", lambda: match_edges(scored, tau), _fp(
+            locale=locale,
+            heavy_threshold=heavy_threshold,
+            max_block_size=max_block_size,
+            tau=tau,
+        )
+    )
     clusters = store.run(
         "clusters",
         lambda: cluster_members(connected_components(edges), addresses),
-        input_fingerprint,
+        _fp(
+            locale=locale,
+            heavy_threshold=heavy_threshold,
+            max_block_size=max_block_size,
+            tau=tau,
+        ),
     )
     store.write_lineage()
 

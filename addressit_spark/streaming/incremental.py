@@ -192,6 +192,7 @@ def incremental_er(
     locale: str = "en-US",
     tau: Optional[float] = None,
     heavy_threshold: int = 256,
+    max_block_size: int = 100_000,
 ):
     """Streaming ER: each micro-batch runs the UNCHANGED batch kernels
     (``parse_spans`` → ``address_table`` → ``score_pairs_fused`` →
@@ -209,7 +210,23 @@ def incremental_er(
     into snapshot + stream batches,
     ``full_batch_edges == snapshot_self_edges ∪ appended_edges``. Identical
     scores too — the fused scorer's similarity values depend only on the
-    surface pair, never on the scoring universe.
+    surface pair, never on the scoring universe. One documented exception:
+    a block that crosses ``max_block_size`` mid-stream. The batch run drops
+    the whole oversized block (with metrics); the streaming run has already
+    committed edges for the block's under-cap prefix and cannot retract
+    them, so streamed output keeps a *prefix* of that block's edges. Parity
+    is exact whenever no accumulated block exceeds the cap (the tested
+    regime, and the intended one — oversized blocks are dirty-data fallout
+    either way).
+
+    Restart-safe by construction: the snapshot seed writes with
+    ``mode("ignore")`` (a restart never truncates accumulated state back to
+    the snapshot), and every per-batch write lands in a ``batch_id=N``
+    partition via dynamic partition overwrite — an at-least-once replay of
+    batch N overwrites its own partition instead of appending duplicates,
+    so edges and state rows stay exactly-once without an external
+    transaction log. (On Iceberg the same property comes from REPLACE
+    PARTITIONS semantics.)
 
     At 10^12-doc scale ``state_dir`` is the same partitioned store the batch
     pipeline checkpoints to (Iceberg in production — append = snapshot
@@ -223,7 +240,25 @@ def incremental_er(
 
     eff_tau = DEFAULT_TAU if tau is None else tau
 
-    snapshot_addresses.write.mode("overwrite").parquet(state_dir)
+    # seed once; "ignore" makes a restart a no-op instead of wiping the
+    # accumulated batches back to the snapshot
+    (
+        snapshot_addresses.withColumn("batch_id", F.lit(-1).cast("long"))
+        .write.mode("ignore")
+        .partitionBy("batch_id")
+        .parquet(state_dir)
+    )
+
+    def _write_batch(df: DataFrame, path: str, batch_id: int) -> None:
+        # dynamic overwrite of exactly this batch's partition: idempotent
+        # under Structured Streaming's at-least-once foreachBatch replay
+        (
+            df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
 
     def process(batch_docs: DataFrame, batch_id: int) -> None:
         spark = batch_docs.sparkSession
@@ -232,12 +267,16 @@ def incremental_er(
         ).localCheckpoint(eager=True)
         if new_addrs.limit(1).count() == 0:
             return
-        accumulated = spark.read.parquet(state_dir)
+        accumulated = spark.read.parquet(state_dir).where(
+            F.col("batch_id") < batch_id
+        )
         touched = accumulated.join(
             new_addrs.select("block_key").distinct(), "block_key", "left_semi"
         )
         universe = new_addrs.unionByName(touched.select(*new_addrs.columns))
-        scored, _ = score_pairs_fused(universe, heavy_threshold=heavy_threshold)
+        scored, _ = score_pairs_fused(
+            universe, heavy_threshold=heavy_threshold, max_block_size=max_block_size
+        )
         edges = match_edges(scored, eff_tau)
         new_uids = new_addrs.select(F.col("uid").alias("_nu"))
         inc = (
@@ -246,10 +285,11 @@ def incremental_er(
             .distinct()
         )
         # order matters: commit this batch's edges BEFORE growing the state,
-        # so a replayed batch (restart between the writes) re-reads the same
-        # accumulated set it scored against
-        inc.write.mode("append").parquet(edges_dir)
-        new_addrs.write.mode("append").parquet(state_dir)
+        # so a replay after a crash between the writes re-reads the same
+        # accumulated set it scored against (the batch_id filter above also
+        # shields a replayed batch from its own half-written state rows)
+        _write_batch(inc, edges_dir, batch_id)
+        _write_batch(new_addrs, state_dir, batch_id)
 
     return (
         documents_stream.writeStream.foreachBatch(process)

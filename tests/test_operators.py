@@ -80,7 +80,9 @@ def test_minhash_portable_matches_duckdb(spark, dup_docs):
     """
     import duckdb
 
-    from addressit_spark.operators.dedup import _perm_params, minhash_signatures
+    from addressit_spark.operators.dedup import minhash_signatures
+
+    import __spark_entry__ as entry_mod
 
     sigs = {
         r["doc_id"]: list(r["sig"])
@@ -89,27 +91,11 @@ def test_minhash_portable_matches_duckdb(spark, dup_docs):
     pdf = dup_docs.toPandas()
     con = duckdb.connect()
     con.register("documents", pdf)
-    perm_values = ", ".join(
-        "(%d, %d, %d)" % (i, a, b) for i, (a, b) in enumerate(_perm_params(16, 42))
-    )
+    # the driver oracle's own signature CTEs — not a private copy that
+    # could drift from what the oracle actually runs
     oracle = con.sql(
-        f"""
-        WITH toks AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS tt
-          FROM documents),
-        sh AS (
-          SELECT doc_id, unnest(shset) AS shingle FROM (
-            SELECT doc_id,
-                   list_distinct([array_to_string(tt[i:i+2], ' ')
-                                  for i in range(1, greatest(len(tt)-2, 0)+1)]) AS shset
-            FROM toks)),
-        perms(i, a, b) AS (VALUES {perm_values})
-        SELECT doc_id, i,
-               min((a * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) + b)
-                   % 2147483647) AS m
-        FROM sh CROSS JOIN perms GROUP BY doc_id, i ORDER BY doc_id, i
-        """
+        f"WITH {entry_mod._MINHASH_SIG_CTES} "
+        "SELECT doc_id, i, m FROM sig ORDER BY doc_id, i"
     ).fetchall()
     oracle_sigs: dict = {}
     for doc_id, _i, m in oracle:
@@ -143,23 +129,14 @@ def test_simhash_portable_matches_duckdb(spark, dup_docs):
         r["doc_id"]: r["simhash"]
         for r in simhash_table_portable(dup_docs).collect()
     }
+    import __spark_entry__ as entry_mod
+
     con = duckdb.connect()
     con.register("documents", dup_docs.toPandas())
     oracle = dict(
         con.sql(
-            r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                        t -> t != '')) AS tok
-              FROM documents),
-            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
-            votes AS (
-              SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-              FROM h CROSS JOIN range(60) t(i) GROUP BY doc_id, i)
-            SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
-            FROM votes GROUP BY doc_id
-            """
+            f"WITH {entry_mod._SIMHASH_SIG_CTES} "
+            "SELECT doc_id, simhash FROM sig"
         ).fetchall()
     )
     assert sigs == oracle
@@ -387,7 +364,7 @@ def test_lang_id_matches_sql_oracle_per_doc():
     import pandas as pd
 
     import __spark_entry__ as e
-    from addressit_spark.operators.text import _LANG_PROFILES, _lang_id_batch
+    from addressit_spark.operators.text import _lang_id_batch
 
     texts = [
         None,
@@ -406,27 +383,10 @@ def test_lang_id_matches_sql_oracle_per_doc():
     want = _lang_id_batch(pdf["text"]).tolist()
     con = duckdb.connect()
     con.register("documents", pdf)
-    sql = f"""
-        WITH s AS (
-          SELECT doc_id, coalesce(text, '') AS t, lower(coalesce(text, '')) AS low
-          FROM documents),
-        sc AS (
-          SELECT doc_id, length(t) AS n,
-                 len(regexp_extract_all(t, '[一-鿿]')) AS n_cjk,
-                 {e._lang_score_sql(_LANG_PROFILES["en"])} AS s_en,
-                 {e._lang_score_sql(_LANG_PROFILES["de"])} AS s_de,
-                 {e._lang_score_sql(_LANG_PROFILES["es"])} AS s_es,
-                 {e._lang_score_sql(_LANG_PROFILES["fr"])} AS s_fr
-          FROM s)
-        SELECT doc_id,
-               CASE WHEN n = 0 THEN 'und'
-                    WHEN n_cjk > n * 0.2 THEN 'zh'
-                    WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
-                    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-                    WHEN s_es >= s_fr THEN 'es'
-                    ELSE 'fr' END AS lang_pred
-        FROM sc ORDER BY doc_id
-    """
+    # composed from the driver oracle's own shared fragments
+    sql = (
+        f"{e._LANG_SCORES_CTE} "
+        f"SELECT doc_id, {e._LANG_PRED_CASE} AS lang_pred FROM sc ORDER BY doc_id"
+    )
     got = [r[1] for r in con.sql(sql).fetchall()]
     assert got == want

@@ -91,6 +91,31 @@ def test_checkpoint_resume(spark, corpus, tmp_path):
     assert got1 == got2
 
 
+def test_checkpoint_invalidated_by_parameter_change(spark, corpus, tmp_path):
+    """A resumed run with different stage parameters must NOT reuse
+    snapshots built under the old ones (stale sim maps silently zero
+    similarities); the fingerprint check recomputes them instead."""
+    ckpt = str(tmp_path / "ckpt")
+    docs = documents_view(corpus)
+    r1 = run_pipeline(spark, docs, checkpoint_dir=ckpt)
+    assert r1.lineage["sim_dims"]["resumed"] is False
+    # collect before r3 recomputes: r1.clusters lazily reads the snapshot
+    # path that the parameter-changed run overwrites
+    got1 = dict((r["uid"], r["component"]) for r in r1.clusters.collect())
+    # same params → resumes
+    r2 = run_pipeline(spark, docs, checkpoint_dir=ckpt)
+    assert r2.lineage["sim_dims"]["resumed"] is True
+    # different cap → sim_dims/scored-derived stages recompute, while the
+    # parameter-independent addresses stage still resumes
+    r3 = run_pipeline(spark, docs, checkpoint_dir=ckpt, max_block_size=50_000)
+    assert r3.lineage["addresses"]["resumed"] is True
+    assert r3.lineage["sim_dims"]["resumed"] is False
+    assert r3.lineage["clusters"]["resumed"] is False
+    # no block is near either cap at test scale → identical clusters
+    got3 = dict((r["uid"], r["component"]) for r in r3.clusters.collect())
+    assert got1 == got3
+
+
 def test_isolated_nodes_are_singletons(spark):
     docs = documents_view(synth_corpus(spark, 40, seed=7))
     res = run_pipeline(spark, docs)

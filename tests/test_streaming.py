@@ -166,3 +166,28 @@ def test_incremental_er_foreachbatch_parity(spark, tmp_path):
     assert len(inc_edges) > 0
     # the state dir accumulated every address exactly once
     assert spark.read.parquet(state_dir).count() == all_addrs.count()
+
+    # --- restart safety ---------------------------------------------------
+    n_state = spark.read.parquet(state_dir).count()
+    n_edge_rows = spark.read.parquet(edges_dir).count()
+    # every cross-batch pair is scored exactly once → no duplicate edge rows
+    assert n_edge_rows == len(inc_edges)
+
+    # (a) resume with the same checkpoint and no new files: the seed write
+    # must NOT truncate accumulated state back to the snapshot
+    q2 = incremental_er(sdf, snap_addrs, state_dir, edges_dir, ckpt_dir)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(state_dir).count() == n_state
+    assert edge_set(spark.read.parquet(edges_dir)) == inc_edges
+
+    # (b) full at-least-once replay (checkpoint wiped): batch_id-partitioned
+    # dynamic overwrite makes re-processing idempotent — same edge rows, no
+    # duplicate appends, state still exactly-once
+    import shutil
+
+    shutil.rmtree(ckpt_dir)
+    q3 = incremental_er(sdf, snap_addrs, state_dir, edges_dir, ckpt_dir)
+    q3.awaitTermination(300)
+    assert spark.read.parquet(state_dir).count() == n_state
+    assert spark.read.parquet(edges_dir).count() == n_edge_rows
+    assert edge_set(spark.read.parquet(edges_dir)) == inc_edges
