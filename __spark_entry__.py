@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from addressit_spark.blocking import address_table, block_stats
+from addressit_spark.cluster import connected_components
 from addressit_spark.evaluation import labeled_pairs, pairwise_f1
 from addressit_spark.operators.dedup import (
     _perm_params,
@@ -299,6 +300,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_ngram_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup document clusters: Jaccard pair graph → large-star/small-star CC.
+
+    Oracles the flagship iterative connected-components kernel itself
+    (cluster.py) against a DuckDB recursive-CTE transitive closure — the
+    edge set is the same SQL-expressible n-gram Jaccard graph as
+    ``ngram_jaccard``, so every divergence in the CC fixpoint (labeling,
+    star-contraction, long-id relabel pass) shows up as a value-hash miss.
+    """
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, min_jaccard=0.2
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return (
+        connected_components(edges)
+        .select(F.col("uid").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
@@ -485,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_full": q_exact_dup_full,
         "exact_dup_prefix": q_exact_dup_prefix,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_dup_clusters": q_ngram_dup_clusters,
         "minhash_dups_md5": q_minhash_dups_md5,
         "simhash_dups_md5": q_simhash_dups_md5,
         # similarity (SQL oracles)
@@ -783,6 +805,35 @@ def oracle_sql() -> dict[str, str]:
             HAVING round(count(*) * 1.0 /
                          (any_value(a.set_size) + any_value(b.set_size) - count(*)), 6) >= 0.2
             ORDER BY id_a, id_b
+        """,
+        # CC oracle: transitive closure by recursive CTE over the SAME
+        # Jaccard edge set as ngram_jaccard; cluster_id = min reachable
+        # doc_id (incl. self) — exactly cluster.py's min-uid component label
+        "ngram_dup_clusters": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, {_TOKENS} AS tt FROM documents),
+            sh AS (
+              SELECT doc_id, len(shset) AS set_size, unnest(shset) AS shingle FROM (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tt[i:i+2], ' ')
+                                      for i in range(1, greatest(len(tt)-2, 0)+1)]) AS shset
+                FROM toks)
+              WHERE len(shset) > 0),
+            edges AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING round(count(*) * 1.0 /
+                           (any_value(a.set_size) + any_value(b.set_size) - count(*)), 6) >= 0.2),
+            und AS (
+              SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+            reach(node, r) AS (
+              SELECT src AS node, dst AS r FROM und
+              UNION
+              SELECT u.src AS node, reach.r FROM und u JOIN reach ON u.dst = reach.node)
+            SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "minhash_dups_md5": f"""
             WITH {_MINHASH_SIG_CTES},

@@ -191,3 +191,78 @@ def test_incremental_er_foreachbatch_parity(spark, tmp_path):
     assert spark.read.parquet(state_dir).count() == n_state
     assert spark.read.parquet(edges_dir).count() == n_edge_rows
     assert edge_set(spark.read.parquet(edges_dir)) == inc_edges
+
+
+def test_incremental_er_cap_divergence_contract(spark, tmp_path):
+    """The ONE documented batch/stream divergence: a block crossing
+    ``max_block_size`` mid-stream (incremental_er docstring).
+
+    Batch semantics drop the whole oversized block (with metrics); the
+    stream has already committed edges for the block's under-cap prefix and
+    cannot retract them — so streamed output must keep exactly that prefix:
+    a non-empty strict subset of the uncapped edges, frozen once the block
+    crosses the cap, while address state keeps accumulating.
+    """
+    from addressit_spark.scoring import match_edges, score_pairs_fused
+    from addressit_spark.streaming import incremental_er
+
+    def docs(ids):
+        rows = [
+            (d, [("text", "12 Main St Springfield", "", 0)]) for d in ids
+        ]
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+
+    CAP = 6
+    snap_addrs = address_table(parse_spans(docs(["s1", "s2", "s3"])))
+    assert snap_addrs.count() == 3
+
+    # three stream files of 2 docs each → 3 micro-batches (one block):
+    # accumulated block size 3 → 5 (≤ cap, edges commit) → 7 → 9 (> cap,
+    # block dropped, no new edges). Whichever file order the source picks,
+    # exactly the first batch is under cap, so the expected prefix is fixed.
+    stream_src = tmp_path / "src"
+    for name, ids in (("f0", ["a1", "a2"]), ("f1", ["b1", "b2"]), ("f2", ["c1", "c2"])):
+        docs(ids).coalesce(1).write.mode("append").parquet(str(stream_src))
+
+    state_dir = str(tmp_path / "state")
+    edges_dir = str(tmp_path / "edges")
+    sdf = (
+        spark.readStream.schema(docs(["x"]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_src))
+    )
+    q = incremental_er(
+        sdf, snap_addrs, state_dir, edges_dir, str(tmp_path / "ckpt"),
+        max_block_size=CAP,
+    )
+    q.awaitTermination(300)
+
+    def edge_set(df):
+        return {tuple(sorted((r["src"], r["dst"]))) for r in df.collect()}
+
+    all_addrs = address_table(
+        parse_spans(docs(["s1", "s2", "s3", "a1", "a2", "b1", "b2", "c1", "c2"]))
+    )
+
+    # batch semantics under the same cap: the whole block is dropped with
+    # metrics — zero edges survive
+    capped_pairs, capped_dropped = score_pairs_fused(all_addrs, max_block_size=CAP)
+    assert match_edges(capped_pairs).count() == 0
+    dropped_rows = capped_dropped.collect()
+    assert len(dropped_rows) == 1 and dropped_rows[0]["block_size"] == 9
+
+    # streamed output kept the under-cap prefix: the 7 edges of the first
+    # batch (universe of 5: C(5,2) minus the 3 snapshot-internal pairs) —
+    # a non-empty strict subset of the uncapped edge set, nothing after
+    # the block crossed the cap
+    inc_edges = edge_set(spark.read.parquet(edges_dir))
+    uncapped_full = edge_set(match_edges(score_pairs_fused(all_addrs)[0]))
+    assert len(inc_edges) == 7
+    assert inc_edges < uncapped_full and len(uncapped_full) == 36
+    # state keeps accumulating even after edges freeze (the block's rows
+    # are all present for a later offline re-run to rescore)
+    assert spark.read.parquet(state_dir).count() == 9
