@@ -129,6 +129,35 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
     return with_uid.join(roots, "comp").select("uid", "component")
 
 
+def incremental_components(prev_labels: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Fold a batch of new edges into an existing labeling without
+    re-clustering the full edge history.
+
+    ``prev_labels`` is a prior ``connected_components`` output
+    ``(uid, component)``; the update runs CC over the CONTRACTED graph —
+    each prior cluster collapsed to the star ``member → label`` — unioned
+    with the new edges. That graph has the same transitive closure as
+    ``old_edges ∪ new_edges`` (a star is connectivity-equivalent to any
+    spanning structure of its cluster, and min-label roots are preserved
+    because each star keeps its cluster's min uid as the hub), so the
+    result equals a full recompute (asserted in tests) at the cost of
+    O(nodes + new edges) instead of O(all edges ever): the streaming
+    companion to ``incremental_er`` — per micro-batch, cluster the
+    accumulated graph by contracting yesterday's labels instead of
+    re-reading the whole edge log.
+
+    Like ``connected_components``, emits only nodes with at least one edge
+    (every node of ``prev_labels`` reappears: raw CC output never contains
+    singletons, so every prior node contributes a star edge).
+    """
+    star = prev_labels.where(F.col("uid") != F.col("component")).select(
+        F.col("uid").alias("src"), F.col("component").alias("dst")
+    )
+    return connected_components(
+        star.unionByName(new_edges.select("src", "dst"))
+    )
+
+
 def cluster_members(components: DataFrame, all_nodes: DataFrame) -> DataFrame:
     """Attach isolated nodes (uid with no match edge) as singleton clusters."""
     return (

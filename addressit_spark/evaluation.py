@@ -15,6 +15,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bcubed(clusters: DataFrame, truth: DataFrame) -> Dict[str, float]:
+    """B-cubed precision/recall/F1 of the clustering vs entity ground truth.
+
+    The standard per-item ER metric (Bagga & Baldwin): for each span i,
+    P_i = |C(i) ∩ L(i)| / |C(i)| and R_i = |C(i) ∩ L(i)| / |L(i)| where
+    C(i) is i's predicted cluster and L(i) its true entity; scores are the
+    means over all spans. Unlike pairwise F1 it weights every span equally
+    instead of every pair (one giant wrong cluster can dominate pairwise
+    counts quadratically), so the two together bound over- and
+    under-merging from both directions.
+
+    Fully distributed in three aggregates over (component, entity) overlap
+    cells: Σ_i P_i = Σ_cells o²/|C| and Σ_i R_i = Σ_cells o²/|L| — no
+    per-item loop, no driver-side data beyond the final scalars.
+
+    ``clusters``: (uid, component) — pass ``cluster_members`` output so
+    singleton spans count. ``truth``: corpus.truth_view columns.
+    """
+    t = truth.select(
+        F.concat_ws("#", "doc_id", "address_pos").alias("uid"), "entity_id"
+    )
+    m = clusters.select("uid", "component").join(t, "uid")
+    cells = m.groupBy("component", "entity_id").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    csize = m.groupBy("component").agg(F.count(F.lit(1)).alias("cs"))
+    esize = m.groupBy("entity_id").agg(F.count(F.lit(1)).alias("es"))
+    row = (
+        cells.join(csize, "component")
+        .join(esize, "entity_id")
+        .agg(
+            F.sum(F.col("o") * F.col("o") / F.col("cs")).alias("sp"),
+            F.sum(F.col("o") * F.col("o") / F.col("es")).alias("sr"),
+            F.sum("o").alias("n"),
+        )
+        .collect()[0]
+    )
+    n = row["n"] or 0
+    precision = (row["sp"] / n) if n else 1.0
+    recall = (row["sr"] / n) if n else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"n": n, "precision": precision, "recall": recall, "f1": f1}
+
+
 def labeled_pairs(pairs: DataFrame, truth: DataFrame) -> DataFrame:
     """Attach ground-truth entity ids to both sides of the candidate pairs.
 

@@ -4,8 +4,12 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from addressit_spark.cluster import cluster_members, connected_components
-from addressit_spark.evaluation import labeled_pairs, pairwise_f1
+from addressit_spark.cluster import (
+    cluster_members,
+    connected_components,
+    incremental_components,
+)
+from addressit_spark.evaluation import bcubed, labeled_pairs, pairwise_f1
 from addressit_spark.pipeline import run_pipeline
 from addressit_spark.sources.corpus import documents_view, synth_corpus, truth_view
 
@@ -114,6 +118,57 @@ def test_checkpoint_invalidated_by_parameter_change(spark, corpus, tmp_path):
     # no block is near either cap at test scale → identical clusters
     got3 = dict((r["uid"], r["component"]) for r in r3.clusters.collect())
     assert got1 == got3
+
+
+def test_incremental_components_equals_full_recompute(spark, result):
+    """Contracted-graph update (prior labels as stars ∪ new edges) must
+    reproduce the full recompute exactly, for any edge split — including
+    batches that merge previously separate clusters."""
+    edges = result.edges.withColumn("_h", F.xxhash64("src", "dst"))
+    first = edges.where(F.col("_h") % 3 != 0).select("src", "dst")
+    second = edges.where(F.col("_h") % 3 == 0).select("src", "dst")
+    assert first.count() > 0 and second.count() > 0
+
+    prev = connected_components(first)
+    inc = {
+        (r["uid"], r["component"])
+        for r in incremental_components(prev, second).collect()
+    }
+    full = {
+        (r["uid"], r["component"])
+        for r in connected_components(result.edges.select("src", "dst")).collect()
+    }
+    assert inc == full
+    # the split genuinely exercised cross-batch merges (otherwise the test
+    # degenerates to relabeling): some prior component must have changed
+    prev_map = {r["uid"]: r["component"] for r in prev.collect()}
+    assert any(prev_map.get(u) not in (None, c) for u, c in inc)
+
+
+def test_bcubed_matches_naive_and_bounds(spark, corpus, result):
+    members = cluster_members(result.clusters, result.addresses)
+    m = bcubed(members, truth_view(corpus))
+    assert 0.0 < m["precision"] <= 1.0 and 0.0 < m["recall"] <= 1.0
+    assert m["f1"] >= 0.99, m  # same corpus the pairwise gate passes on
+
+    # exact value check vs a naive per-item computation on a small slice
+    t = truth_view(corpus).select(
+        F.concat_ws("#", "doc_id", "address_pos").alias("uid"), "entity_id"
+    )
+    joined = members.join(t, "uid").collect()
+    comp = {r["uid"]: r["component"] for r in joined}
+    ent = {r["uid"]: r["entity_id"] for r in joined}
+    from collections import Counter
+
+    csize = Counter(comp.values())
+    esize = Counter(ent.values())
+    overlap = Counter((comp[u], ent[u]) for u in comp)
+    sp = sum(overlap[(comp[u], ent[u])] / csize[comp[u]] for u in comp)
+    sr = sum(overlap[(comp[u], ent[u])] / esize[ent[u]] for u in comp)
+    n = len(comp)
+    assert abs(m["precision"] - sp / n) < 1e-9
+    assert abs(m["recall"] - sr / n) < 1e-9
+    assert m["n"] == n
 
 
 def test_isolated_nodes_are_singletons(spark):
