@@ -193,6 +193,8 @@ def incremental_er(
     tau: Optional[float] = None,
     heavy_threshold: int = 256,
     max_block_size: int = 100_000,
+    clusters_dir: Optional[str] = None,
+    snapshot_labels: Optional[DataFrame] = None,
 ):
     """Streaming ER: each micro-batch runs the UNCHANGED batch kernels
     (``parse_spans`` → ``address_table`` → ``score_pairs_fused`` →
@@ -233,6 +235,19 @@ def incremental_er(
     commit); the per-batch read prunes to touched blocks only, so batch cost
     scales with batch size × block density, not corpus size.
 
+    ``clusters_dir`` (optional) additionally maintains LIVE cluster labels:
+    after each batch's edges commit, :func:`~addressit_spark.cluster.
+    incremental_components` folds them into the previous batch's labeling
+    via the contracted graph (prior clusters as stars ∪ new edges) — the
+    per-batch clustering cost is O(nodes-with-edges + batch edges), never a
+    recluster of the full edge log, and the result equals a batch CC over
+    all edges so far (asserted in tests). Labels land in a ``batch_id=N``
+    partition (same idempotent dynamic-overwrite scheme as edges/state;
+    ``batch_id=-1`` seeds from ``snapshot_labels``); the current labeling is
+    the max-``batch_id`` partition. Pass ``snapshot_labels`` (the snapshot's
+    own CC output) so cross-batch merges connect into snapshot-internal
+    clusters — without it, labels cover only stream-edge-connected nodes.
+
     Returns the started ``StreamingQuery``; callers own ``awaitTermination``.
     """
     from addressit_spark.blocking import address_table
@@ -248,6 +263,14 @@ def incremental_er(
         .partitionBy("batch_id")
         .parquet(state_dir)
     )
+    if clusters_dir is not None and snapshot_labels is not None:
+        (
+            snapshot_labels.select("uid", "component")
+            .withColumn("batch_id", F.lit(-1).cast("long"))
+            .write.mode("ignore")
+            .partitionBy("batch_id")
+            .parquet(clusters_dir)
+        )
 
     def _write_batch(df: DataFrame, path: str, batch_id: int) -> None:
         # dynamic overwrite of exactly this batch's partition: idempotent
@@ -289,6 +312,31 @@ def incremental_er(
         # accumulated set it scored against (the batch_id filter above also
         # shields a replayed batch from its own half-written state rows)
         _write_batch(inc, edges_dir, batch_id)
+        if clusters_dir is not None:
+            from addressit_spark.cluster import incremental_components
+
+            # previous labeling = the max-batch_id partition below this
+            # batch; inputs are all < batch_id so a replayed batch folds the
+            # same prior labels — the labels write stays idempotent
+            last = None
+            try:
+                prior = spark.read.parquet(clusters_dir).where(
+                    F.col("batch_id") < batch_id
+                )
+                last = prior.agg(F.max("batch_id")).collect()[0][0]
+            except Exception:  # no seed partition written yet
+                prior = None
+            if last is None:
+                prev_labels = spark.createDataFrame(
+                    [], "uid string, component string"
+                )
+            else:
+                prev_labels = prior.where(F.col("batch_id") == last).select(
+                    "uid", "component"
+                )
+            _write_batch(
+                incremental_components(prev_labels, inc), clusters_dir, batch_id
+            )
         _write_batch(new_addrs, state_dir, batch_id)
 
     return (

@@ -141,15 +141,24 @@ def test_incremental_er_foreachbatch_parity(spark, tmp_path):
 
     snap_addrs = address_table(parse_spans(part_snap.drop("ingest_ts")))
 
+    from addressit_spark.cluster import connected_components
+
     state_dir = str(tmp_path / "state")
     edges_dir = str(tmp_path / "edges")
+    clusters_dir = str(tmp_path / "clusters")
     ckpt_dir = str(tmp_path / "ckpt")
     sdf = (
         spark.readStream.schema(part_stream.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_src)
     )
-    q = incremental_er(sdf, snap_addrs, state_dir, edges_dir, ckpt_dir)
+    snap_label_df = connected_components(
+        match_edges(score_pairs_fused(snap_addrs)[0])
+    )
+    q = incremental_er(
+        sdf, snap_addrs, state_dir, edges_dir, ckpt_dir,
+        clusters_dir=clusters_dir, snapshot_labels=snap_label_df,
+    )
     q.awaitTermination(300)
 
     def edge_set(df):
@@ -167,6 +176,25 @@ def test_incremental_er_foreachbatch_parity(spark, tmp_path):
     # the state dir accumulated every address exactly once
     assert spark.read.parquet(state_dir).count() == all_addrs.count()
 
+    # live labels: the max-batch_id partition equals a batch CC over ALL
+    # edges (snapshot + every streamed batch) — per-batch incremental
+    # folding loses nothing
+    def current_labels():
+        c = spark.read.parquet(clusters_dir)
+        last = c.agg(F.max("batch_id")).collect()[0][0]
+        return {
+            (r["uid"], r["component"])
+            for r in c.where(F.col("batch_id") == last).collect()
+        }
+
+    full_cc = {
+        (r["uid"], r["component"])
+        for r in connected_components(
+            match_edges(score_pairs_fused(all_addrs)[0])
+        ).collect()
+    }
+    assert current_labels() == full_cc
+
     # --- restart safety ---------------------------------------------------
     n_state = spark.read.parquet(state_dir).count()
     n_edge_rows = spark.read.parquet(edges_dir).count()
@@ -175,22 +203,30 @@ def test_incremental_er_foreachbatch_parity(spark, tmp_path):
 
     # (a) resume with the same checkpoint and no new files: the seed write
     # must NOT truncate accumulated state back to the snapshot
-    q2 = incremental_er(sdf, snap_addrs, state_dir, edges_dir, ckpt_dir)
+    q2 = incremental_er(
+        sdf, snap_addrs, state_dir, edges_dir, ckpt_dir,
+        clusters_dir=clusters_dir, snapshot_labels=snap_label_df,
+    )
     q2.awaitTermination(300)
     assert spark.read.parquet(state_dir).count() == n_state
     assert edge_set(spark.read.parquet(edges_dir)) == inc_edges
+    assert current_labels() == full_cc
 
     # (b) full at-least-once replay (checkpoint wiped): batch_id-partitioned
     # dynamic overwrite makes re-processing idempotent — same edge rows, no
-    # duplicate appends, state still exactly-once
+    # duplicate appends, state still exactly-once, labels unchanged
     import shutil
 
     shutil.rmtree(ckpt_dir)
-    q3 = incremental_er(sdf, snap_addrs, state_dir, edges_dir, ckpt_dir)
+    q3 = incremental_er(
+        sdf, snap_addrs, state_dir, edges_dir, ckpt_dir,
+        clusters_dir=clusters_dir, snapshot_labels=snap_label_df,
+    )
     q3.awaitTermination(300)
     assert spark.read.parquet(state_dir).count() == n_state
     assert spark.read.parquet(edges_dir).count() == n_edge_rows
     assert edge_set(spark.read.parquet(edges_dir)) == inc_edges
+    assert current_labels() == full_cc
 
 
 def test_incremental_er_cap_divergence_contract(spark, tmp_path):
