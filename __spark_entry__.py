@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from addressit_spark.blocking import address_table, block_stats
 from addressit_spark.cluster import connected_components
-from addressit_spark.evaluation import labeled_pairs, pairwise_f1
+from addressit_spark.evaluation import bcubed, labeled_pairs, pairwise_f1
 from addressit_spark.operators.dedup import (
     _perm_params,
     exact_dup_groups,
@@ -87,6 +87,7 @@ def entry(spark: SparkSession) -> DataFrame:
     corpus = synth_corpus(spark, _entities_for(DEFAULT_SF_DIR), seed=42)
     res = run_pipeline(spark, documents_view(corpus))
     f1 = pairwise_f1(labeled_pairs(res.pairs, truth_view(corpus)), res.clusters)
+    b3 = bcubed(res.clusters, truth_view(corpus))
 
     rows = [
         ("sf0001_documents_rows", float(n_docs)),
@@ -98,6 +99,9 @@ def entry(spark: SparkSession) -> DataFrame:
         ("er_pairwise_f1", float(f1["f1"])),
         ("er_pairwise_precision", float(f1["precision"])),
         ("er_pairwise_recall", float(f1["recall"])),
+        ("er_bcubed_f1", float(b3["f1"])),
+        ("er_bcubed_precision", float(b3["precision"])),
+        ("er_bcubed_recall", float(b3["recall"])),
     ]
     return spark.createDataFrame(rows, "metric string, value double")
 
