@@ -140,21 +140,40 @@ def incremental_components(prev_labels: DataFrame, new_edges: DataFrame) -> Data
     ``old_edges ∪ new_edges`` (a star is connectivity-equivalent to any
     spanning structure of its cluster, and min-label roots are preserved
     because each star keeps its cluster's min uid as the hub), so the
-    result equals a full recompute (asserted in tests) at the cost of
-    O(nodes + new edges) instead of O(all edges ever): the streaming
+    result equals a full recompute (asserted in tests): the streaming
     companion to ``incremental_er`` — per micro-batch, cluster the
     accumulated graph by contracting yesterday's labels instead of
     re-reading the whole edge log.
 
-    Like ``connected_components``, emits only nodes with at least one edge
-    (every node of ``prev_labels`` reappears: raw CC output never contains
-    singletons, so every prior node contributes a star edge).
+    Only clusters TOUCHED by a new edge enter the iterated CC — a cluster
+    none of whose members is a new-edge endpoint cannot merge with
+    anything, so its rows pass through unchanged (two semi/anti joins,
+    no log-round shuffles). Per-batch cost is therefore
+    O(touched-cluster members + new edges), not O(all labeled nodes): at
+    10^12 accumulated nodes a micro-batch re-clusters only the few
+    blocks' worth of clusters its edges reach. Untouched rows pass
+    through verbatim — including singleton rows if ``prev_labels`` came
+    from ``cluster_members``; touched output, like
+    ``connected_components``, contains exactly the edge-connected nodes.
     """
-    star = prev_labels.where(F.col("uid") != F.col("component")).select(
+    e = new_edges.select("src", "dst")
+    new_nodes = (
+        e.select(F.col("src").alias("uid"))
+        .union(e.select(F.col("dst").alias("uid")))
+        .distinct()
+    )
+    touched_comps = (
+        prev_labels.join(new_nodes, "uid", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    touched = prev_labels.join(touched_comps, "component", "left_semi")
+    untouched = prev_labels.join(touched_comps, "component", "left_anti")
+    star = touched.where(F.col("uid") != F.col("component")).select(
         F.col("uid").alias("src"), F.col("component").alias("dst")
     )
-    return connected_components(
-        star.unionByName(new_edges.select("src", "dst"))
+    return connected_components(star.unionByName(e)).unionByName(
+        untouched.select("uid", "component")
     )
 
 

@@ -145,6 +145,40 @@ def test_incremental_components_equals_full_recompute(spark, result):
     assert any(prev_map.get(u) not in (None, c) for u, c in inc)
 
 
+def test_incremental_components_touched_only_contract(spark):
+    """Untouched clusters (incl. cluster_members singletons) pass through
+    verbatim; clusters reached by a new edge re-cluster and merge."""
+
+    def labels(rows):
+        return spark.createDataFrame(rows, "uid string, component string")
+
+    def edges(rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    prev = labels([("a", "a"), ("b", "a"), ("x", "x")])
+
+    # disjoint new pair: prior rows (incl. singleton x) unchanged
+    got = {
+        (r["uid"], r["component"])
+        for r in incremental_components(prev, edges([("c", "d")])).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("x", "x"), ("c", "c"), ("d", "c")}
+
+    # edge into the singleton: it re-clusters, the {a,b} cluster unchanged
+    got = {
+        (r["uid"], r["component"])
+        for r in incremental_components(prev, edges([("y", "x")])).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("x", "x"), ("y", "x")}
+
+    # edge bridging both prior clusters: full merge under the min uid
+    got = {
+        (r["uid"], r["component"])
+        for r in incremental_components(prev, edges([("b", "x")])).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("x", "a")}
+
+
 def test_bcubed_matches_naive_and_bounds(spark, corpus, result):
     members = cluster_members(result.clusters, result.addresses)
     m = bcubed(members, truth_view(corpus))
