@@ -192,6 +192,97 @@ REF_TRIAD8_GBPS = 69.8
 REF_CPU8_ITERS = 955_515
 
 
+def run_inc_cc_bench() -> dict:
+    """--inc-cc: quantify the streaming clustering win at bench scale.
+
+    Times a FULL connected-components recompute over all match edges vs an
+    incremental fold (``incremental_components``: touched-cluster
+    contraction) of a ~1%% edge batch onto the labeling of the other 99%% —
+    the per-micro-batch operation ``incremental_er`` performs. Asserts both
+    labelings agree before reporting. Interleaved best-of-N per the host's
+    noisy-neighbor policy.
+    """
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from addressit_spark.blocking import address_table
+    from addressit_spark.cluster import connected_components, incremental_components
+    from addressit_spark.parse_stage import parse_spans
+    from addressit_spark.scoring import match_edges, score_pairs_fused, surface_sim_map
+    from addressit_spark.session import get_spark
+    from addressit_spark.sources.corpus import documents_view, synth_corpus
+
+    spark = get_spark(
+        master=MASTER or f"local[{CPUS}]",
+        app_name="addressit_spark_inc_cc",
+        shuffle_partitions=max(4 * CPUS, 32),
+    )
+    n_entities = ER_ENTITIES or entry_mod._entities_for(SF_DIR)
+    corpus = documents_view(synth_corpus(spark, n_entities, seed=42))
+    addresses = address_table(parse_spans(corpus)).localCheckpoint(eager=True)
+    sims = surface_sim_map(addresses, max_block_size=100_000).localCheckpoint(eager=True)
+    scored, _ = score_pairs_fused(addresses, sims=sims)
+    edges = match_edges(scored).localCheckpoint(eager=True)
+    n_edges = edges.count()
+
+    batch = edges.where(F.xxhash64("src", "dst") % 100 == 0).localCheckpoint(eager=True)
+    base = edges.where(F.xxhash64("src", "dst") % 100 != 0).localCheckpoint(eager=True)
+    n_batch = batch.count()
+    base_labels = connected_components(base).localCheckpoint(eager=True)
+    base_labels.count()
+
+    # work entering the iterated fixpoint (the per-round shuffle payload):
+    # full = every edge ever; incremental = touched-cluster stars + batch
+    new_nodes = (
+        batch.select(F.col("src").alias("uid"))
+        .union(batch.select(F.col("dst").alias("uid")))
+        .distinct()
+    )
+    touched_comps = (
+        base_labels.join(new_nodes, "uid", "left_semi").select("component").distinct()
+    )
+    n_touched_members = base_labels.join(touched_comps, "component", "left_semi").count()
+
+    t_full, t_inc = None, None
+    for _ in range(3):  # interleaved trials, best-of-3
+        t0 = time.monotonic()
+        full = connected_components(edges)
+        n_full = full.count()
+        t = time.monotonic() - t0
+        t_full = t if t_full is None else min(t_full, t)
+        t0 = time.monotonic()
+        inc = incremental_components(base_labels, batch)
+        n_inc = inc.count()
+        t = time.monotonic() - t0
+        t_inc = t if t_inc is None else min(t_inc, t)
+    # labelings must agree exactly (symmetric difference empty)
+    assert n_full == n_inc, (n_full, n_inc)
+    diff = (
+        full.unionByName(inc)
+        .groupBy("uid", "component")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") != 2)
+        .count()
+    )
+    assert diff == 0, diff
+    out = {
+        "metric": "inc_cc_speedup",
+        "value": round(t_full / t_inc, 2),
+        "n_edges": n_edges,
+        "n_batch_edges": n_batch,
+        "n_labeled_nodes": n_full,
+        "fixpoint_rows_full": n_edges,
+        "fixpoint_rows_incremental": n_touched_members + n_batch,
+        "work_ratio": round(n_edges / max(n_touched_members + n_batch, 1), 1),
+        "t_full_cc_sec": round(t_full, 3),
+        "t_incremental_sec": round(t_inc, 3),
+        "sf": _sf_number(SF_DIR),
+        "cpus": CPUS,
+    }
+    spark.stop()
+    return out
+
+
 def _calibration() -> dict:
     """Host-speed block for the default bench JSON (run AFTER spark.stop()).
 
@@ -572,6 +663,26 @@ The pins are free-to-negative on the shingle/band joins and cost a ~0.3s
 constant on simhash at this scale — kept as the default; `pin_smj=False`
 is the escape hatch for provably-small inputs.
 
+## Incremental clustering at bench scale (round 3)
+
+`incremental_components` (the per-micro-batch clustering `incremental_er`
+uses) folds a ~1% edge batch into the prior labeling by re-clustering only
+touched clusters. Measured with `bench.py --inc-cc` (sf0.1 / local[32],
+interleaved best-of-3, label sets asserted identical to the full recompute):
+
+| accumulated edges | batch edges | fixpoint rows full → incremental | work ratio | wall full → incremental |
+|---|---|---|---|---|
+| 46,028 | 476 | 46,028 → 2,758 | 16.7× | 3.14s → 4.36s (0.72×) |
+| 895,267 | 9,060 | 895,267 → 52,441 | 17.1× | 12.56s → 10.64s (1.18×) |
+
+The per-round shuffle payload (rows entering the iterated fixpoint — the
+quantity that scales) drops ~17× for a 1% batch; at production ratios
+(one micro-batch vs 10^12 accumulated edges) it is the corpus/batch ratio.
+Wall-clock at toy scale is bounded by the fixed per-round job latency of
+the CC loop (same round count either way), so the speedup crosses over
+as the graph grows: 0.72× at 46k edges, 1.18× at 0.9M — the asymptote
+follows the work ratio.
+
 ## Host-speed calibration of the per-round BENCH files
 
 This host's noisy-neighbor swings (2-10×, minutes-long) made round-2's
@@ -605,5 +716,7 @@ if __name__ == "__main__":
         print(json.dumps({"iters": _mp_cpu(int(sys.argv[sys.argv.index("--cpuburn") + 1]))}))
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--inc-cc" in sys.argv:
+        print(json.dumps(run_inc_cc_bench()))
     else:
         print(json.dumps(run_bench()))
