@@ -129,6 +129,34 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
     return with_uid.join(roots, "comp").select("uid", "component")
 
 
+def touched_split(
+    prev_labels: DataFrame, new_edges: DataFrame
+) -> "tuple[DataFrame, DataFrame]":
+    """Split a labeling into (touched, untouched) clusters w.r.t. new edges.
+
+    A cluster is *touched* iff any member uid is an endpoint of a new edge —
+    only touched clusters can merge with anything. The single source of
+    truth for both :func:`incremental_components` and the ``--inc-cc`` bench
+    counter, so the reported work metric always describes the executed
+    split. ``touched_comps`` is batch-sized (tiny next to the labeling);
+    AQE turns the two joins into broadcasts at runtime, so the full-label
+    pass is a scan, not a shuffle.
+    """
+    new_nodes = (
+        new_edges.select(F.col("src").alias("uid"))
+        .union(new_edges.select(F.col("dst").alias("uid")))
+        .distinct()
+    )
+    touched_comps = (
+        prev_labels.join(new_nodes, "uid", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    touched = prev_labels.join(touched_comps, "component", "left_semi")
+    untouched = prev_labels.join(touched_comps, "component", "left_anti")
+    return touched, untouched
+
+
 def incremental_components(prev_labels: DataFrame, new_edges: DataFrame) -> DataFrame:
     """Fold a batch of new edges into an existing labeling without
     re-clustering the full edge history.
@@ -147,28 +175,20 @@ def incremental_components(prev_labels: DataFrame, new_edges: DataFrame) -> Data
 
     Only clusters TOUCHED by a new edge enter the iterated CC — a cluster
     none of whose members is a new-edge endpoint cannot merge with
-    anything, so its rows pass through unchanged (two semi/anti joins,
-    no log-round shuffles). Per-batch cost is therefore
-    O(touched-cluster members + new edges), not O(all labeled nodes): at
-    10^12 accumulated nodes a micro-batch re-clusters only the few
-    blocks' worth of clusters its edges reach. Untouched rows pass
-    through verbatim — including singleton rows if ``prev_labels`` came
-    from ``cluster_members``; touched output, like
-    ``connected_components``, contains exactly the edge-connected nodes.
+    anything, so its rows pass through unchanged. The log-round SHUFFLE
+    cost is therefore O(touched-cluster members + new edges), not O(all
+    labeled nodes): at 10^12 accumulated nodes a micro-batch re-clusters
+    only the few blocks' worth of clusters its edges reach. The full
+    labeling is still read and re-emitted once per call (a scan + the
+    broadcast-side semi/anti joins of :func:`touched_split` — map-side,
+    no shuffle); ``incremental_er`` bounds the on-disk side by pruning
+    superseded label partitions. Untouched rows pass through verbatim —
+    including singleton rows if ``prev_labels`` came from
+    ``cluster_members``; touched output, like ``connected_components``,
+    contains exactly the edge-connected nodes.
     """
     e = new_edges.select("src", "dst")
-    new_nodes = (
-        e.select(F.col("src").alias("uid"))
-        .union(e.select(F.col("dst").alias("uid")))
-        .distinct()
-    )
-    touched_comps = (
-        prev_labels.join(new_nodes, "uid", "left_semi")
-        .select("component")
-        .distinct()
-    )
-    touched = prev_labels.join(touched_comps, "component", "left_semi")
-    untouched = prev_labels.join(touched_comps, "component", "left_anti")
+    touched, untouched = touched_split(prev_labels, e)
     star = touched.where(F.col("uid") != F.col("component")).select(
         F.col("uid").alias("src"), F.col("component").alias("dst")
     )

@@ -53,8 +53,14 @@ def bcubed(clusters: DataFrame, truth: DataFrame) -> Dict[str, float]:
         .collect()[0]
     )
     n = row["n"] or 0
-    precision = (row["sp"] / n) if n else 1.0
-    recall = (row["sr"] / n) if n else 1.0
+    if n == 0:
+        # an empty clusters⋈truth join means a broken pipeline (no clusters,
+        # or a uid-format drift between the two sides) — report 0, never a
+        # vacuous perfect score that would mask exactly the failure this
+        # metric exists to catch
+        return {"n": 0, "precision": 0.0, "recall": 0.0, "f1": 0.0}
+    precision = row["sp"] / n
+    recall = row["sr"] / n
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     return {"n": n, "precision": precision, "recall": recall, "f1": f1}
 

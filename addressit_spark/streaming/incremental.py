@@ -221,13 +221,13 @@ def incremental_er(
     regime, and the intended one — oversized blocks are dirty-data fallout
     either way).
 
-    Restart-safe by construction: the snapshot seed writes with
-    ``mode("ignore")`` (a restart never truncates accumulated state back to
-    the snapshot), and every per-batch write lands in a ``batch_id=N``
-    partition via dynamic partition overwrite — an at-least-once replay of
-    batch N overwrites its own partition instead of appending duplicates,
-    so edges and state rows stay exactly-once without an external
-    transaction log. (On Iceberg the same property comes from REPLACE
+    Restart-safe by construction: every write — the ``batch_id=-1``
+    snapshot seed included — lands in its own partition via dynamic
+    partition overwrite, so a restart re-seeds only the ``-1`` partition
+    (idempotently; accumulated batches are never truncated, and a crash
+    mid-seed self-heals) and an at-least-once replay of batch N overwrites
+    its own partition instead of appending duplicates — edges, state, and
+    labels stay exactly-once without an external transaction log. (On Iceberg the same property comes from REPLACE
     PARTITIONS semantics.)
 
     At 10^12-doc scale ``state_dir`` is the same partitioned store the batch
@@ -255,22 +255,24 @@ def incremental_er(
 
     eff_tau = DEFAULT_TAU if tau is None else tau
 
-    # seed once; "ignore" makes a restart a no-op instead of wiping the
-    # accumulated batches back to the snapshot
-    (
-        snapshot_addresses.withColumn("batch_id", F.lit(-1).cast("long"))
-        .write.mode("ignore")
-        .partitionBy("batch_id")
-        .parquet(state_dir)
-    )
-    if clusters_dir is not None and snapshot_labels is not None:
+    # seed the batch_id=-1 partition by DYNAMIC overwrite, not
+    # mode("ignore"): ignore skips on bare directory existence, so a crash
+    # mid-seed would leave a partial partition that a restart silently
+    # accepts forever. Dynamic overwrite only ever touches the -1 partition
+    # (accumulated batches are untouched on restart) and rewriting the
+    # deterministic seed is idempotent — a partial seed self-heals.
+    def _seed(df: DataFrame, path: str) -> None:
         (
-            snapshot_labels.select("uid", "component")
-            .withColumn("batch_id", F.lit(-1).cast("long"))
-            .write.mode("ignore")
+            df.withColumn("batch_id", F.lit(-1).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(clusters_dir)
+            .parquet(path)
         )
+
+    _seed(snapshot_addresses, state_dir)
+    if clusters_dir is not None and snapshot_labels is not None:
+        _seed(snapshot_labels.select("uid", "component"), clusters_dir)
 
     def _write_batch(df: DataFrame, path: str, batch_id: int) -> None:
         # dynamic overwrite of exactly this batch's partition: idempotent
@@ -310,22 +312,36 @@ def incremental_er(
         # order matters: commit this batch's edges BEFORE growing the state,
         # so a replay after a crash between the writes re-reads the same
         # accumulated set it scored against (the batch_id filter above also
-        # shields a replayed batch from its own half-written state rows)
+        # shields a replayed batch from its own half-written state rows).
+        # inc is pinned first: the edges write, the clustering fold, and
+        # its eager internal checkpoints would otherwise each re-execute
+        # the whole accumulated-state scoring DAG.
+        inc = inc.localCheckpoint(eager=True)
         _write_batch(inc, edges_dir, batch_id)
         if clusters_dir is not None:
+            from pyspark.errors import AnalysisException
+
             from addressit_spark.cluster import incremental_components
 
             # previous labeling = the max-batch_id partition below this
             # batch; inputs are all < batch_id so a replayed batch folds the
-            # same prior labels — the labels write stays idempotent
-            last = None
+            # same prior labels — the labels write stays idempotent. ONLY a
+            # missing/empty directory (cold start without snapshot_labels)
+            # may downgrade to an empty prior; any other failure must
+            # propagate so the stream retries the batch — swallowing a
+            # transient read error here would silently rebuild the labeling
+            # from this batch alone.
             try:
                 prior = spark.read.parquet(clusters_dir).where(
                     F.col("batch_id") < batch_id
                 )
-                last = prior.agg(F.max("batch_id")).collect()[0][0]
-            except Exception:  # no seed partition written yet
+            except AnalysisException:  # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA
                 prior = None
+            last = (
+                prior.agg(F.max("batch_id")).collect()[0][0]
+                if prior is not None
+                else None
+            )
             if last is None:
                 prev_labels = spark.createDataFrame(
                     [], "uid string, component string"
@@ -337,6 +353,22 @@ def incremental_er(
             _write_batch(
                 incremental_components(prev_labels, inc), clusters_dir, batch_id
             )
+            # each partition is a FULL labeling — partitions in (last,
+            # batch_id) are superseded the instant this batch's commits, so
+            # prune them: the directory holds the seed, at most the prior
+            # fold, and the current one, instead of one full copy per
+            # micro-batch. Replay safety: a replayed batch N only ever
+            # reads max(batch_id < N), which pruning never removes.
+            if last is not None and last >= 0:
+                jvm = spark._jvm
+                hpath = jvm.org.apache.hadoop.fs.Path(clusters_dir)
+                fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                for st in fs.listStatus(hpath):
+                    name = st.getPath().getName()
+                    if name.startswith("batch_id="):
+                        bid = int(name.split("=", 1)[1])
+                        if 0 <= bid < last:
+                            fs.delete(st.getPath(), True)
         _write_batch(new_addrs, state_dir, batch_id)
 
     return (

@@ -197,7 +197,7 @@ def run_inc_cc_bench() -> dict:
 
     Times a FULL connected-components recompute over all match edges vs an
     incremental fold (``incremental_components``: touched-cluster
-    contraction) of a ~1%% edge batch onto the labeling of the other 99%% —
+    contraction) of a ~1% edge batch onto the labeling of the other 99% —
     the per-micro-batch operation ``incremental_er`` performs. Asserts both
     labelings agree before reporting. Interleaved best-of-N per the host's
     noisy-neighbor policy.
@@ -206,7 +206,11 @@ def run_inc_cc_bench() -> dict:
 
     import __spark_entry__ as entry_mod
     from addressit_spark.blocking import address_table
-    from addressit_spark.cluster import connected_components, incremental_components
+    from addressit_spark.cluster import (
+        connected_components,
+        incremental_components,
+        touched_split,
+    )
     from addressit_spark.parse_stage import parse_spans
     from addressit_spark.scoring import match_edges, score_pairs_fused, surface_sim_map
     from addressit_spark.session import get_spark
@@ -232,16 +236,9 @@ def run_inc_cc_bench() -> dict:
     base_labels.count()
 
     # work entering the iterated fixpoint (the per-round shuffle payload):
-    # full = every edge ever; incremental = touched-cluster stars + batch
-    new_nodes = (
-        batch.select(F.col("src").alias("uid"))
-        .union(batch.select(F.col("dst").alias("uid")))
-        .distinct()
-    )
-    touched_comps = (
-        base_labels.join(new_nodes, "uid", "left_semi").select("component").distinct()
-    )
-    n_touched_members = base_labels.join(touched_comps, "component", "left_semi").count()
+    # full = every edge ever; incremental = touched-cluster stars + batch —
+    # counted with the SAME split the timed operator executes
+    n_touched_members = touched_split(base_labels, batch)[0].count()
 
     t_full, t_inc = None, None
     for _ in range(3):  # interleaved trials, best-of-3

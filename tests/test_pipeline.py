@@ -205,6 +205,23 @@ def test_bcubed_matches_naive_and_bounds(spark, corpus, result):
     assert m["n"] == n
 
 
+def test_bcubed_empty_join_reports_zero(spark):
+    """No clusters⋈truth overlap = broken pipeline → 0.0, never a vacuous
+    perfect score."""
+    empty = spark.createDataFrame([], "uid string, component string")
+    truth = spark.createDataFrame(
+        [("d1", 0, 1)], "doc_id string, address_pos int, entity_id long"
+    )
+    assert bcubed(empty, truth) == {
+        "n": 0, "precision": 0.0, "recall": 0.0, "f1": 0.0,
+    }
+    # uid-format drift: clusters exist but match no truth uid
+    drifted = spark.createDataFrame(
+        [("d1@0", "d1@0")], "uid string, component string"
+    )
+    assert bcubed(drifted, truth)["f1"] == 0.0
+
+
 def test_isolated_nodes_are_singletons(spark):
     docs = documents_view(synth_corpus(spark, 40, seed=7))
     res = run_pipeline(spark, docs)

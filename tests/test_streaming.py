@@ -195,6 +195,21 @@ def test_incremental_er_foreachbatch_parity(spark, tmp_path):
     }
     assert current_labels() == full_cc
 
+    # superseded full-labeling partitions are pruned: at most the seed, the
+    # prior fold, and the current one remain — storage is O(labeling), not
+    # O(batches × labeling)
+    def label_partitions():
+        import os as _os
+
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in _os.listdir(clusters_dir)
+            if d.startswith("batch_id=")
+        )
+
+    parts = label_partitions()
+    assert parts[0] == -1 and len(parts) <= 3, parts
+
     # --- restart safety ---------------------------------------------------
     n_state = spark.read.parquet(state_dir).count()
     n_edge_rows = spark.read.parquet(edges_dir).count()
