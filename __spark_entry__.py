@@ -37,6 +37,11 @@ from addressit_spark.operators.multimodal import (
     frame_sample_plan,
     with_media_meta,
 )
+from addressit_spark.operators.sample import (
+    _threshold,
+    assign_split,
+    stratified_hash_sample,
+)
 from addressit_spark.operators.similarity import (
     brute_force_topk,
     cosine_col,
@@ -324,6 +329,28 @@ def q_ngram_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (hash-keyed on doc_id)."""
+    d = _t(spark, sf_dir, "documents")
+    s = assign_split(
+        d, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], seed=42
+    )
+    return (
+        s.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic corpus re-weighting (en 50%, zh 25%, rest 10%)."""
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.5, "zh": 0.25}, default_rate=0.1, seed=7
+    )
+    return s.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
@@ -511,6 +538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_prefix": q_exact_dup_prefix,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_dup_clusters": q_ngram_dup_clusters,
+        # sampling / dataset splitting (SQL oracles)
+        "doc_split_counts": q_doc_split_counts,
+        "doc_stratified_sample": q_doc_stratified_sample,
         "minhash_dups_md5": q_minhash_dups_md5,
         "simhash_dups_md5": q_simhash_dups_md5,
         # similarity (SQL oracles)
@@ -809,6 +839,33 @@ def oracle_sql() -> dict[str, str]:
             HAVING round(count(*) * 1.0 /
                          (any_value(a.set_size) + any_value(b.set_size) - count(*)), 6) >= 0.2
             ORDER BY id_a, id_b
+        """,
+        # sampling twins: identical integer thresholds on the portable
+        # 60-bit md5 hash, computed by the same _threshold() the operators
+        # use — no float comparisons cross the engine boundary
+        "doc_split_counts": f"""
+            SELECT CASE
+                     WHEN h < {_threshold(0.8)} THEN 'train'
+                     WHEN h < {_threshold(0.8 + 0.1)} THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   lang, count(*) AS n_docs
+            FROM (SELECT lang,
+                         ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT AS h
+                  FROM documents)
+            GROUP BY 1, 2 ORDER BY split, lang
+        """,
+        "doc_stratified_sample": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT AS h
+              FROM documents)
+            WHERE h < CASE lang
+                        WHEN 'en' THEN {_threshold(0.5)}
+                        WHEN 'zh' THEN {_threshold(0.25)}
+                        ELSE {_threshold(0.1)}
+                      END
+            ORDER BY doc_id
         """,
         # CC oracle: transitive closure by recursive CTE over the SAME
         # Jaccard edge set as ngram_jaccard; cluster_id = min reachable
