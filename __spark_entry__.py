@@ -54,6 +54,7 @@ from addressit_spark.operators.text import (
     BPE_TOKEN_PATTERN,
     STOPWORDS,
     fingerprint,
+    tfidf_top_terms,
     with_bpe_token_count,
     with_lang_id,
     with_token_stats,
@@ -329,6 +330,13 @@ def q_ngram_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, deterministic ties)."""
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
 def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (hash-keyed on doc_id)."""
     d = _t(spark, sf_dir, "documents")
@@ -533,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_quality": q_doc_quality,
         "lang_share": q_lang_share,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
         # dedup (SQL oracles where portable)
         "exact_dup_full": q_exact_dup_full,
         "exact_dup_prefix": q_exact_dup_prefix,
@@ -839,6 +848,28 @@ def oracle_sql() -> dict[str, str]:
             HAVING round(count(*) * 1.0 /
                          (any_value(a.set_size) + any_value(b.set_size) - count(*)), 6) >= 0.2
             ORDER BY id_a, id_b
+        """,
+        "doc_tfidf_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS tt FROM documents),
+            terms AS (
+              SELECT doc_id, lower(unnest(tt)) AS term FROM toks),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, term,
+                     tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0) AS s
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, term, s,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, term) AS rank
+              FROM scored)
+            SELECT doc_id, term, round(s, 6) AS tfidf, rank
+            FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         # sampling twins: identical integer thresholds on the portable
         # 60-bit md5 hash, computed by the same _threshold() the operators

@@ -190,3 +190,46 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         # is code-point-counted in both engines.
         .withColumn("fp_suffix", F.md5(F.right(norm, F.lit(64))))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, tfidf, rank).
+
+    tfidf = tf × (ln((N+1)/(df+1)) + 1) — smoothed idf, natural log, the
+    sklearn-style variant. All JVM-side: one explode, two aggregations, a
+    term-keyed join for idf, a single-row broadcast for N, and a per-doc
+    window for the top-k (partition = doc_id, so the window never sees more
+    rows than one document's vocabulary — no global sort). Ranking uses the
+    UNROUNDED score with the term string as the deterministic tie-break
+    (equal tf+df ⇒ byte-equal doubles in any IEEE engine, so ties resolve
+    identically everywhere); the emitted score is rounded for value-hash
+    comparison. At corpus scale the df table is vocabulary-sized — the one
+    shuffle that matters is the term-keyed idf join, which AQE handles (the
+    head of the Zipf curve is exactly the skew-join case).
+    """
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).select("doc_id", F.lower("tok").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_s",
+            F.col("tf")
+            * (F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", F.round("_s", 6).alias("tfidf"), "rank")
+    )

@@ -390,3 +390,28 @@ def test_lang_id_matches_sql_oracle_per_doc():
     )
     got = [r[1] for r in con.sql(sql).fetchall()]
     assert got == want
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from addressit_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [("d1", "apple banana apple"), ("d2", "banana cherry"), ("d3", "apple")],
+        "doc_id string, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    idf_common = math.log(4 / 3) + 1  # df=2 (apple, banana), N=3
+    idf_rare = math.log(4 / 2) + 1  # df=1 (cherry)
+    want = {
+        ("d1", 1): ("apple", round(2 * idf_common, 6)),
+        ("d1", 2): ("banana", round(1 * idf_common, 6)),
+        ("d2", 1): ("cherry", round(1 * idf_rare, 6)),
+        ("d2", 2): ("banana", round(1 * idf_common, 6)),
+        ("d3", 1): ("apple", round(1 * idf_common, 6)),
+    }
+    assert got == want
