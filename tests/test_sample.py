@@ -89,3 +89,15 @@ def test_assign_split_weight_validation(spark, docs):
         assign_split(docs, "doc_id", [])
     with pytest.raises(ValueError):
         assign_split(docs, "doc_id", [("a", 0.9), ("b", 0.2)])
+
+
+def test_cross_table_consistency(spark, docs):
+    """The same key samples the same way from any table — documents and
+    their embeddings land on the same side of a split (the claim that makes
+    hash sampling usable for multi-table datasets)."""
+    import os
+
+    emb = spark.read.parquet(os.path.join("/root/testdata/sf0.01", "embeddings.parquet"))
+    d = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.4, seed=9).select("doc_id").collect()}
+    e = {r["vec_id"] for r in hash_sample(emb, "vec_id", 0.4, seed=9).select("vec_id").collect()}
+    assert d == e and len(d) > 0
