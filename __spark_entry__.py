@@ -38,8 +38,8 @@ from addressit_spark.operators.multimodal import (
     with_media_meta,
 )
 from addressit_spark.operators.sample import (
-    _threshold,
     assign_split,
+    rate_threshold,
     stratified_hash_sample,
 )
 from addressit_spark.operators.similarity import (
@@ -872,12 +872,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         # sampling twins: identical integer thresholds on the portable
-        # 60-bit md5 hash, computed by the same _threshold() the operators
+        # 60-bit md5 hash, computed by the same rate_threshold() the operators
         # use — no float comparisons cross the engine boundary
         "doc_split_counts": f"""
             SELECT CASE
-                     WHEN h < {_threshold(0.8)} THEN 'train'
-                     WHEN h < {_threshold(0.8 + 0.1)} THEN 'val'
+                     WHEN h < {rate_threshold(0.8)} THEN 'train'
+                     WHEN h < {rate_threshold(0.8 + 0.1)} THEN 'val'
                      ELSE 'test'
                    END AS split,
                    lang, count(*) AS n_docs
@@ -892,9 +892,9 @@ def oracle_sql() -> dict[str, str]:
                      ('0x' || substr(md5('7:' || doc_id), 1, 15))::BIGINT AS h
               FROM documents)
             WHERE h < CASE lang
-                        WHEN 'en' THEN {_threshold(0.5)}
-                        WHEN 'zh' THEN {_threshold(0.25)}
-                        ELSE {_threshold(0.1)}
+                        WHEN 'en' THEN {rate_threshold(0.5)}
+                        WHEN 'zh' THEN {rate_threshold(0.25)}
+                        ELSE {rate_threshold(0.1)}
                       END
             ORDER BY doc_id
         """,

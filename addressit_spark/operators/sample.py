@@ -34,7 +34,8 @@ def sample_hash(key: Column, seed: int = 42) -> Column:
     return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
 
 
-def _threshold(rate: float) -> int:
+def rate_threshold(rate: float) -> int:
+    """Exact integer keep-threshold on the 2^60 hash space for ``rate``."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     return int(rate * SAMPLE_SPACE)
@@ -48,7 +49,7 @@ def hash_sample(
     Same (key, seed) → same decision on any cluster, any partitioning, any
     engine — the property `df.sample()` cannot give at scale.
     """
-    return df.where(sample_hash(F.col(key_col), seed) < F.lit(_threshold(rate)))
+    return df.where(sample_hash(F.col(key_col), seed) < F.lit(rate_threshold(rate)))
 
 
 def assign_split(
@@ -73,7 +74,7 @@ def assign_split(
     expr: Optional[Column] = None
     for name, w in weights[:-1]:
         cum += w
-        cond = h < F.lit(_threshold(cum))
+        cond = h < F.lit(rate_threshold(cum))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(weights[-1][0])
     out = last if expr is None else expr.otherwise(last)
@@ -98,11 +99,11 @@ def stratified_hash_sample(
     """
     entries = []
     for k, r in rates.items():
-        entries.extend([F.lit(k), F.lit(_threshold(r))])
+        entries.extend([F.lit(k), F.lit(rate_threshold(r))])
     thr = F.coalesce(
         F.element_at(F.create_map(*entries), F.col(strata_col).cast("string"))
         if entries
         else F.lit(None).cast("long"),
-        F.lit(_threshold(default_rate)),
+        F.lit(rate_threshold(default_rate)),
     )
     return df.where(sample_hash(F.col(key_col), seed) < thr)

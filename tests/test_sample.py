@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from addressit_spark.operators.sample import (
     SAMPLE_SPACE,
-    _threshold,
+    rate_threshold,
     assign_split,
     hash_sample,
     sample_hash,
@@ -76,12 +76,12 @@ def test_stratified_rates_apply_per_stratum(spark, docs):
         assert 0 < kept.get(lang, 0) < full[lang]
 
 
-def test_threshold_validation():
-    assert _threshold(0.0) == 0 and _threshold(1.0) == SAMPLE_SPACE
+def test_rate_threshold_validation():
+    assert rate_threshold(0.0) == 0 and rate_threshold(1.0) == SAMPLE_SPACE
     with pytest.raises(ValueError):
-        _threshold(1.5)
+        rate_threshold(1.5)
     with pytest.raises(ValueError):
-        _threshold(-0.1)
+        rate_threshold(-0.1)
 
 
 def test_assign_split_weight_validation(spark, docs):
