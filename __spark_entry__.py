@@ -337,6 +337,33 @@ def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: near-dup fingerprints straddling splits.
+
+    Composes ``assign_split`` with the content fingerprints — a group whose
+    normalized 64-char prefix hash appears in more than one split is
+    training data leaking into eval. The decontamination primitive every
+    training pipeline runs before a split ships.
+    """
+    d = assign_split(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        seed=42,
+    )
+    return (
+        fingerprint(d)
+        .groupBy("fp_prefix")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_id"),
+        )
+        .where(F.col("n_splits") > 1)
+        .orderBy("fp_prefix")
+    )
+
+
 def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (hash-keyed on doc_id)."""
     d = _t(spark, sf_dir, "documents")
@@ -550,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling / dataset splitting (SQL oracles)
         "doc_split_counts": q_doc_split_counts,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "split_leakage": q_split_leakage,
         "minhash_dups_md5": q_minhash_dups_md5,
         "simhash_dups_md5": q_simhash_dups_md5,
         # similarity (SQL oracles)
@@ -897,6 +925,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE {rate_threshold(0.1)}
                       END
             ORDER BY doc_id
+        """,
+        "split_leakage": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     md5(substr(trim(lower(regexp_replace(text, '[^\\p{{L}}\\p{{N}}]+', ' ', 'g'))), 1, 64)) AS fp_prefix,
+                     ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT AS h
+              FROM documents),
+            s AS (
+              SELECT fp_prefix, doc_id,
+                     CASE WHEN h < {rate_threshold(0.8)} THEN 'train'
+                          WHEN h < {rate_threshold(0.8 + 0.1)} THEN 'val'
+                          ELSE 'test' END AS split
+              FROM f)
+            SELECT fp_prefix,
+                   count(DISTINCT split) AS n_splits,
+                   count(*) AS n_docs,
+                   min(doc_id) AS example_id
+            FROM s GROUP BY fp_prefix
+            HAVING count(DISTINCT split) > 1 ORDER BY fp_prefix
         """,
         # CC oracle: transitive closure by recursive CTE over the SAME
         # Jaccard edge set as ngram_jaccard; cluster_id = min reachable
