@@ -15,7 +15,9 @@ engine via ``('0x' || substr(md5(...), 1, 15))::BIGINT``, which is what makes
 every operator here value-oracle-able in DuckDB. Rates are converted to
 integer thresholds on the 2^60 space in the driver (exact, no float
 comparison skew between engines). All pure column expressions: no UDF, no
-shuffle — sampling composes into any scan and pushes down with it.
+shuffle — the filter evaluates inside the scan stage's whole-stage codegen
+(it is computed from md5, so it is not a parquet-pushable predicate, but it
+never forces an exchange and drops rows before any downstream shuffle).
 """
 
 from __future__ import annotations
@@ -93,7 +95,7 @@ def stratified_hash_sample(
 
     ``rates`` maps stratum value → keep fraction; strata not listed keep
     ``default_rate``. The per-row threshold comes from a literal map lookup
-    (tiny, driver-built), so the whole operator stays one pushed-down
+    (tiny, driver-built), so the whole operator stays one scan-stage
     filter — the standard way to re-weight a 100 TB corpus by language or
     source without a shuffle.
     """
