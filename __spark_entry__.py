@@ -49,6 +49,7 @@ from addressit_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from addressit_spark.operators.temporal import asof_join, session_stats
 from addressit_spark.operators.text import (
     _LANG_PROFILES,
     BPE_TOKEN_PATTERN,
@@ -229,6 +230,62 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
     )
+
+
+def q_events_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event ← the user's most recent order at-or-before it.
+
+    The single-shuffle tagged-union as-of operator (operators/temporal.py) —
+    no range-join explosion. Event times are shifted back 26 years so they
+    interleave with the order-date era (events are January-only, so the
+    calendar shift is identical in Spark and DuckDB). The oracle replays it
+    with DuckDB's native ``ASOF LEFT JOIN``; the right side is deduped to
+    max o_orderkey per (custkey, orderdate) in BOTH engines — the operator's
+    ``tiebreak`` picks exactly that row, while DuckDB ASOF would tie-break
+    arbitrarily.
+    """
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .withColumn("ets", F.col("ts") - F.expr("INTERVAL 26 YEARS"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = asof_join(
+        e,
+        o,
+        [("user_id", "o_custkey")],
+        "ets",
+        "o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_totalprice"),
+    ).orderBy("event_id")
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (2h) of the event stream, per-session rollup."""
+    s = session_stats(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        7200.0,
+        value_col="value",
+        order_tiebreak="event_id",
+    )
+    return s.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.round("duration_s", 4).alias("duration_s"),
+        "sum_value",
+    ).orderBy("user_id", "session_seq")
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,6 +620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "customers_without_orders": q_customers_without_orders,
         "revenue_rollup": q_revenue_rollup,
+        # temporal (SQL oracles — DuckDB native ASOF JOIN / window replay)
+        "events_order_asof": q_events_order_asof,
+        "user_sessions": q_user_sessions,
         # text analysis (SQL oracles)
         "doc_token_stats": q_doc_token_stats,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -759,6 +819,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
             ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+        """,
+        "events_order_asof": """
+            WITH e AS (
+              SELECT event_id, user_id, ts - INTERVAL 26 YEAR AS ets
+              FROM events WHERE user_id < 50),
+            r AS (
+              SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                        ORDER BY o_orderkey DESC) AS rn
+              FROM orders),
+            rd AS (SELECT * FROM r WHERE rn = 1)
+            SELECT e.event_id, e.user_id,
+                   rd.o_orderkey AS last_orderkey,
+                   round(rd.o_totalprice, 2) AS last_totalprice
+            FROM e ASOF LEFT JOIN rd
+              ON e.user_id = rd.o_custkey AND e.ets >= rd.o_orderdate
+            ORDER BY e.event_id
+        """,
+        "user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+                     event_id
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(CASE WHEN prev IS NULL
+                              OR epoch(ts) - epoch(prev) > 7200 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM o)
+            SELECT user_id,
+                   CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   round(max(epoch(ts)) - min(epoch(ts)), 4) AS duration_s,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         "doc_token_stats": f"""
             WITH t AS (

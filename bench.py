@@ -81,12 +81,18 @@ def run_bench() -> dict:
         # stay readable
         qmap["pricing_summary"](spark, SF_DIR).count()
         qmap["top_customers"](spark, SF_DIR).count()
+    # count() would let Catalyst prune the asof window / session rollup out
+    # of the plan (row count is projection-independent) — checksum a result
+    # column instead so the operator genuinely executes
+    checksum_col = {"events_order_asof": "last_totalprice", "user_sessions": "duration_s"}
     for name in [] if ONLY_ER else [
         "pricing_summary",
         "top_customers",
         "regional_revenue",
         "events_user_top",
         "events_hourly",
+        "events_order_asof",
+        "user_sessions",
         "doc_token_stats",
         "doc_quality",
         "exact_dup_prefix",
@@ -96,7 +102,15 @@ def run_bench() -> dict:
         "embedding_topk",
         "embedding_dup_lsh",
     ]:
-        timed(name, lambda n=name: qmap[n](spark, SF_DIR).count())
+        if name in checksum_col:
+            timed(
+                name,
+                lambda n=name: qmap[n](spark, SF_DIR)
+                .agg(F.count(F.lit(1)), F.sum(checksum_col[n]))
+                .collect(),
+            )
+        else:
+            timed(name, lambda n=name: qmap[n](spark, SF_DIR).count())
 
     # --- ER pipeline: parse → block → score → cluster on the synthetic
     #     interleaved corpus sized to the scale factor ---
