@@ -288,6 +288,86 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_seq")
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix.
+
+    Explicit pivot values keep the plan single-pass (no distinct-values
+    pre-scan) — the form that scales; absent combos are coalesced to 0 to
+    match the SQL conditional-aggregation oracle.
+    """
+    e = _t(spark, sf_dir, "events")
+    p = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(
+        F.count(F.lit(1))
+    )
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    ).orderBy("user_id")
+
+
+def q_doc_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles of document length per language.
+
+    ``F.percentile`` (exact, JVM-side) ≡ DuckDB ``quantile_cont`` — both
+    compute lower + α·(upper − lower) on the sorted values.
+    """
+    d = _t(spark, sf_dir, "documents")
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.round(F.percentile("n_chars", p), 4).alias(name)
+                for name, p in qs.items()
+            ],
+        )
+        .orderBy("lang")
+    )
+
+
+def q_doc_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct content counts per source — the oracle twin of the
+    HLL sketch query ``doc_distinct_approx``."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_doc_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-content sketch per source (rows-only: the estimate is
+    engine-specific).
+
+    At 100 TB this replaces the exact count's full shuffle of every distinct
+    hash with fixed-size mergeable sketches (map-side partials, bytes per
+    group ~1.5 KB at rsd=2%); accuracy is checked against the exact twin in
+    tests.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.approx_count_distinct(F.md5("text"), rsd=0.02).alias(
+                "n_distinct_approx"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_token_stats(_t(spark, sf_dir, "documents"))
     return (
@@ -623,6 +703,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal (SQL oracles — DuckDB native ASOF JOIN / window replay)
         "events_order_asof": q_events_order_asof,
         "user_sessions": q_user_sessions,
+        "events_type_pivot": q_events_type_pivot,
+        # quantiles / distinct sketches
+        "doc_len_quantiles": q_doc_len_quantiles,
+        "doc_distinct_exact": q_doc_distinct_exact,
+        "doc_distinct_approx": q_doc_distinct_approx,
         # text analysis (SQL oracles)
         "doc_token_stats": q_doc_token_stats,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -860,6 +945,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "events_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "doc_len_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 4) AS p75,
+                   round(quantile_cont(n_chars, 0.95), 4) AS p95
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "doc_distinct_exact": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_distinct
+            FROM documents GROUP BY source ORDER BY source
         """,
         "doc_token_stats": f"""
             WITH t AS (

@@ -82,6 +82,18 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.columns) > 0
 
 
+def test_hll_sketch_tracks_exact(spark):
+    """approx_count_distinct (rsd=2%) stays within 5% of the exact twin."""
+    qs = entry_mod.queries()
+    exact = {
+        r.source: r.n_distinct for r in qs["doc_distinct_exact"](spark, SF_DIR).collect()
+    }
+    for r in qs["doc_distinct_approx"](spark, SF_DIR).collect():
+        assert abs(r.n_distinct_approx - exact[r.source]) <= max(
+            0.05 * exact[r.source], 5
+        ), (r.source, r.n_distinct_approx, exact[r.source])
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = {r["metric"]: r["value"] for r in df.collect()}
