@@ -36,6 +36,7 @@ MASTER = os.environ.get("SPARK_GRAFT_MASTER", "")
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "0"))  # 0 → per-sf default
 ONLY_ER = os.environ.get("SPARK_GRAFT_BENCH_ONLY_ER", "") == "1"  # scaling mode
 SKIP_FULL = os.environ.get("SPARK_GRAFT_SKIP_FULL", "") == "1"  # scaling mode
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))  # best-of-N
 
 
 def _sf_number(sf_dir: str) -> float:
@@ -73,6 +74,25 @@ def run_bench() -> dict:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
+    def timed_best(name, fn, trials=QUERY_TRIALS):
+        """Best-of-N wall time for a repeatable action.
+
+        This host stalls episodically (multi-second freezes that land on
+        whichever stage is running — observed inflating one stage 10-50×
+        while the rest of the same run is at full speed), so a single
+        sample per query confuses one unlucky stall with a regression.
+        Min-of-N discards stalls; N=2 is enough because an episode long
+        relative to the query rarely spans both trials.
+        """
+        out, best = None, None
+        for _ in range(max(trials, 1)):
+            t0 = time.monotonic()
+            out = fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        return out
+
     # --- headline relational / text / dedup / similarity queries ---
     qmap = entry_mod.queries()
     if not ONLY_ER:
@@ -103,14 +123,14 @@ def run_bench() -> dict:
         "embedding_dup_lsh",
     ]:
         if name in checksum_col:
-            timed(
+            timed_best(
                 name,
                 lambda n=name: qmap[n](spark, SF_DIR)
                 .agg(F.count(F.lit(1)), F.sum(checksum_col[n]))
                 .collect(),
             )
         else:
-            timed(name, lambda n=name: qmap[n](spark, SF_DIR).count())
+            timed_best(name, lambda n=name: qmap[n](spark, SF_DIR).count())
 
     # --- ER pipeline: parse → block → score → cluster on the synthetic
     #     interleaved corpus sized to the scale factor ---
@@ -119,23 +139,36 @@ def run_bench() -> dict:
     corpus = timed("er_corpus_materialize", lambda: corpus.cache()) or corpus
     corpus.count()
 
-    addresses_lazy = address_table(parse_spans(corpus))
-    t0 = time.monotonic()
-    addresses = addresses_lazy.localCheckpoint(eager=True)
+    # best-of-N like the headline queries (stall defense): each trial
+    # materializes its own localCheckpoint snapshot; the previous trial's
+    # (identical) snapshot is unpersisted as soon as the next lands
+    def timed_best_ckpt(name, build):
+        prev = {"df": None}
+
+        def trial():
+            df = build().localCheckpoint(eager=True)
+            df.count()
+            if prev["df"] is not None:
+                prev["df"].unpersist()
+            prev["df"] = df
+            return df
+
+        return timed_best(name, trial)
+
+    addresses = timed_best_ckpt(
+        "er_parse_block", lambda: address_table(parse_spans(corpus))
+    )
     n_addr = addresses.count()
-    timings["er_parse_block"] = round(time.monotonic() - t0, 3)
 
     # The surface-similarity dim is the pipeline's materialized dim stage
     # (same role as in run_pipeline): timed separately, then reused by every
     # scoring trial — at 10^12 pairs its build cost is ~0.001% of the
     # scoring pass, so folding it into each trial at bench scale would
     # misattribute a fixed dim-build to the per-pair metric by ~1000×.
-    t0 = time.monotonic()
     # same block-size cap as the production pipeline's sim stage
-    sims = surface_sim_map(addresses, max_block_size=100_000).localCheckpoint(
-        eager=True
+    sims = timed_best_ckpt(
+        "er_sim_dims", lambda: surface_sim_map(addresses, max_block_size=100_000)
     )
-    timings["er_sim_dims"] = round(time.monotonic() - t0, 3)
 
     # Scoring throughput (the north metric: candidate-pairs-scored/sec),
     # measured on the PRODUCTION plan: block self-join fused directly into
