@@ -291,6 +291,25 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_user_event_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed set ops: UNION / INTERSECT / EXCEPT over user cohorts.
+
+    Purchasers vs error-encounterers — the three set operators each run as
+    a hash aggregate/join on the (already tiny, pre-distinct'd) key sets,
+    tagged and stacked into one result so a single oracle covers all three.
+    """
+    e = _t(spark, sf_dir, "events")
+    purch = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = e.where(F.col("event_type") == "error").select("user_id").distinct()
+    tagged = [
+        purch.union(err).distinct().select(F.lit("any").alias("tag"), "user_id"),
+        purch.intersect(err).select(F.lit("both").alias("tag"), "user_id"),
+        purch.subtract(err).select(F.lit("purchase_only").alias("tag"), "user_id"),
+    ]
+    out = tagged[0].unionByName(tagged[1]).unionByName(tagged[2])
+    return out.orderBy("tag", "user_id")
+
+
 def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type count matrix.
 
@@ -704,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_order_asof": q_events_order_asof,
         "user_sessions": q_user_sessions,
         "events_type_pivot": q_events_type_pivot,
+        "user_event_setops": q_user_event_setops,
         # quantiles / distinct sketches
         "doc_len_quantiles": q_doc_len_quantiles,
         "doc_distinct_exact": q_doc_distinct_exact,
@@ -954,6 +974,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
                    count(*) FILTER (WHERE event_type = 'view') AS n_view
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "user_event_setops": """
+            WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+                 x AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+            SELECT 'any' AS tag, user_id FROM (SELECT user_id FROM p UNION SELECT user_id FROM x)
+            UNION ALL
+            SELECT 'both' AS tag, user_id FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM x)
+            UNION ALL
+            SELECT 'purchase_only' AS tag, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM x)
+            ORDER BY tag, user_id
         """,
         "doc_len_quantiles": """
             SELECT lang, count(*) AS n_docs,
