@@ -67,6 +67,7 @@ def asof_join(
     tolerance_s: Optional[float] = None,
     tiebreak: Optional[str] = None,
     matched_ts_col: Optional[str] = None,
+    bucket_s: Optional[float] = None,
 ) -> DataFrame:
     """Left as-of join: attach to each left row the nearest right row.
 
@@ -88,9 +89,21 @@ def asof_join(
     when (key, ts) is not unique. Without it, ties are partition-order
     dependent (same caveat as DuckDB ASOF on duplicate timestamps).
     ``matched_ts_col`` — optionally expose the matched right timestamp.
+    ``bucket_s`` — skew guard: partition by (key, ⌊ts/bucket_s⌋) instead of
+    (key), bounding the per-partition sort for hot keys (a key with 10⁹
+    events would otherwise sort in one task). Semantics are preserved by
+    carry injection: per (key, bucket) the boundary-relevant right row —
+    latest for backward, earliest for forward — is reduced with
+    ``max_by``/``min_by`` (a tiny table: one row per non-empty bucket,
+    independent of per-bucket row count), a running scan over that table
+    (the same tagged-union window at bucket granularity) computes each left
+    bucket's carry from strictly-earlier (resp. later) buckets, and the
+    carry is injected into the bucket's window as an ordinary right row.
+    Identical results to the unbucketed plan (asserted in tests).
 
-    Plan: union the tagged sides, ONE hash exchange on the key, in-partition
-    sort by (ts, side, tiebreak), ``last(..., ignorenulls=True)`` over an
+    Plan: union the tagged sides, ONE hash exchange on the key (plus two
+    bucket-granularity exchanges in skew-guard mode), in-partition sort by
+    (ts, side, tiebreak), ``last(..., ignorenulls=True)`` over an
     unbounded-preceding ROW frame. No range-join explosion, no per-row
     Python, no broadcast requirement on either side.
     """
@@ -138,12 +151,85 @@ def asof_join(
         # descending ts: the "most recently seen" right row in sort order is
         # the one with the SMALLEST ts ≥ the current left ts
         order = [F.col("__ts").desc(), F.col("__side").asc(), F.col("__tb").asc()]
+    if bucket_s is None:
+        part_cols = keys
+        stacked_rows = ltagged.unionByName(rtagged.select(*ltagged.columns))
+    else:
+        backward = direction == "backward"
+        bwidth = F.lit(float(bucket_s))
+        lt = ltagged.withColumn(
+            "__b",
+            F.floor(
+                _as_seconds(F.col("__ts"), left.schema[left_ts].dataType) / bwidth
+            ).cast("long"),
+        )
+        rt = rtagged.select(*ltagged.columns).withColumn(
+            "__b",
+            F.floor(
+                _as_seconds(F.col("__ts"), right.schema[right_ts].dataType) / bwidth
+            ).cast("long"),
+        )
+        # boundary-relevant right row per non-empty (key, bucket): the one a
+        # later (resp. earlier) bucket would match — nearest ts toward the
+        # boundary, MAX tiebreak among ties (the unbucketed tie rule)
+        worder = (
+            [F.col("__ts").desc(), F.col("__tb").desc()]
+            if backward
+            else [F.col("__ts").asc(), F.col("__tb").desc()]
+        )
+        wpb = Window.partitionBy(*keys, "__b").orderBy(*worder)
+        per_bucket = (
+            rt.withColumn("__rn", F.row_number().over(wpb))
+            .where(F.col("__rn") == 1)
+            .select(*keys, "__b", F.struct("__ts", "__tb", "__p").alias("__w"))
+        )
+        # running carry at bucket granularity: a bucket-b winner becomes
+        # visible from bucket b±1 on (__vb shift), so each left bucket's
+        # last() sees exactly the strictly-earlier (resp. later) buckets
+        wtype = per_bucket.schema["__w"].dataType
+        vis = F.col("__b") + (1 if backward else -1)
+        stacked = per_bucket.select(
+            *keys, vis.alias("__vb"), F.lit(0).alias("__cs"), F.col("__w")
+        ).unionByName(
+            lt.select(*keys, "__b")
+            .distinct()
+            .select(
+                *keys,
+                F.col("__b").alias("__vb"),
+                F.lit(1).alias("__cs"),
+                F.lit(None).cast(wtype).alias("__w"),
+            )
+        )
+        vorder = [
+            F.col("__vb").asc() if backward else F.col("__vb").desc(),
+            F.col("__cs").asc(),
+        ]
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(*vorder)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carries = (
+            stacked.withColumn("__c", F.last("__w", ignorenulls=True).over(wb))
+            .where((F.col("__cs") == 1) & F.col("__c").isNotNull())
+            .select(
+                *keys,
+                F.col("__c.__ts").alias("__ts"),
+                F.lit(r_side).alias("__side"),
+                F.col("__c.__tb").alias("__tb"),
+                F.col("__c.__p").alias("__p"),
+                F.lit(None).cast(ltagged.schema["__l"].dataType).alias("__l"),
+                F.col("__vb").alias("__b"),
+            )
+        )
+        part_cols = keys + ["__b"]
+        stacked_rows = lt.unionByName(rt).unionByName(carries.select(*lt.columns))
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*part_cols)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = ltagged.unionByName(rtagged.select(*ltagged.columns)).withColumn(
+    matched = stacked_rows.withColumn(
         "__m", F.last("__p", ignorenulls=True).over(w)
     )
     out = matched.where(F.col("__side") == l_side)

@@ -119,6 +119,53 @@ def test_asof_matches_duckdb_asof_join(frames):
     assert got == want
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+@pytest.mark.parametrize("bucket_s", [7.0, 25.0, 10_000.0])
+def test_asof_bucketed_equals_unbucketed(frames, direction, strict, bucket_s):
+    """Skew-guard mode (partition by key+time-bucket with carry injection)
+    returns exactly the plain single-partition-per-key result — including
+    the degenerate one-bucket width and widths that leave many buckets
+    with no right rows (carry must hop over empty buckets)."""
+    left, right, ldf, rdf = frames
+    kw = dict(
+        payload_cols=["rid"], direction=direction, strict=strict, tiebreak="rid"
+    )
+    plain = {
+        r.lid: r.rid for r in asof_join(ldf, rdf, "key", "lts", "rts", **kw).collect()
+    }
+    bucketed = {
+        r.lid: r.rid
+        for r in asof_join(
+            ldf, rdf, "key", "lts", "rts", bucket_s=bucket_s, **kw
+        ).collect()
+    }
+    assert bucketed == plain
+
+
+def test_asof_bucketed_tolerance(frames):
+    left, right, ldf, rdf = frames
+    kw = dict(payload_cols=["rid"], tolerance_s=25.0, tiebreak="rid")
+    plain = {
+        r.lid: r.rid for r in asof_join(ldf, rdf, "key", "lts", "rts", **kw).collect()
+    }
+    bucketed = {
+        r.lid: r.rid
+        for r in asof_join(ldf, rdf, "key", "lts", "rts", bucket_s=13.0, **kw).collect()
+    }
+    assert bucketed == plain
+
+
+def test_asof_bucketed_partitions_by_bucket(frames):
+    """The skew-guard plan really exchanges on (key, bucket), not (key)."""
+    _, _, ldf, rdf = frames
+    plan = asof_join(
+        ldf, rdf, "key", "lts", "rts", payload_cols=["rid"], bucket_s=10.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "__b" in plan.split("Window")[-1] or "__b" in plan
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan
+
+
 def test_asof_multi_key_and_renamed(spark):
     ldf = spark.createDataFrame(
         [("a", 1, 10.0, 1), ("a", 2, 10.0, 2), ("b", 1, 10.0, 3)],
