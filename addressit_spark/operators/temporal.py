@@ -256,6 +256,7 @@ def sessionize(
     gap_s: float,
     order_tiebreak: Optional[str] = None,
     session_col: str = "session_seq",
+    bucket_s: Optional[float] = None,
 ) -> DataFrame:
     """Assign gap-based session numbers within each key.
 
@@ -270,22 +271,84 @@ def sessionize(
     ROW frame (a RANGE frame would hand tied timestamps the same running
     sum and mis-place boundaries). Pure column expressions, so the whole
     operator stays inside whole-stage codegen.
+
+    ``bucket_s`` — skew guard, same idea as :func:`asof_join`'s: partition
+    by (key, ⌊ts/bucket_s⌋) so a hot key's timeline sorts in bounded
+    chunks, then stitch sessions across bucket boundaries in a second pass
+    at BUCKET granularity (one row per non-empty bucket): a bucket whose
+    first event is within ``gap_s`` of the previous non-empty bucket's last
+    event continues that bucket's final session; an exclusive running sum
+    of (sessions − merged) renumbers every bucket's local sequence into the
+    global one. Identical output to the unbucketed plan (asserted in
+    tests).
     """
+    ts_dt = df.schema[ts].dataType
+    gap = F.lit(float(gap_s))
+
+    if bucket_s is None:
+        order = [F.col(ts).asc()]
+        if order_tiebreak:
+            order.append(F.col(order_tiebreak).asc())
+        w = Window.partitionBy(key).orderBy(*order)
+        prev = F.lag(F.col(ts)).over(w)
+        is_new = F.when(
+            prev.isNull()
+            | ((_as_seconds(F.col(ts), ts_dt) - _as_seconds(prev, ts_dt)) > gap),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        seq = F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(session_col, seq.cast("long"))
+
+    sec = _as_seconds(F.col(ts), ts_dt)
+    b = df.withColumn("__b", F.floor(sec / F.lit(float(bucket_s))).cast("long"))
     order = [F.col(ts).asc()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc())
-    w = Window.partitionBy(key).orderBy(*order)
-    ts_dt = df.schema[ts].dataType
-    prev = F.lag(F.col(ts)).over(w)
+    wloc = Window.partitionBy(key, "__b").orderBy(*order)
+    prev = F.lag(F.col(ts)).over(wloc)
     is_new = F.when(
         prev.isNull()
-        | ((_as_seconds(F.col(ts), ts_dt) - _as_seconds(prev, ts_dt)) > F.lit(float(gap_s))),
+        | ((_as_seconds(F.col(ts), ts_dt) - _as_seconds(prev, ts_dt)) > gap),
         F.lit(1),
     ).otherwise(F.lit(0))
-    seq = F.sum(is_new).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = b.withColumn(
+        "__ls",
+        F.sum(is_new)
+        .over(wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
     )
-    return df.withColumn(session_col, seq.cast("long"))
+    # one row per non-empty (key, bucket): first/last event second + local
+    # session count — the only state the cross-boundary pass needs
+    summary = local.groupBy(key, "__b").agg(
+        F.min(sec).alias("__first"),
+        F.max(sec).alias("__last"),
+        F.max("__ls").alias("__n"),
+    )
+    wb = Window.partitionBy(key).orderBy("__b")
+    prev_last = F.lag("__last").over(wb)
+    merged = F.when(
+        prev_last.isNotNull() & ((F.col("__first") - prev_last) <= gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    offsets = summary.withColumn("__m", merged).withColumn(
+        "__before",
+        F.coalesce(
+            F.sum(F.col("__n") - F.col("__m")).over(
+                Window.partitionBy(key)
+                .orderBy("__b")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    out = local.join(
+        offsets.select(key, "__b", "__m", "__before"), [key, "__b"]
+    ).withColumn(
+        session_col,
+        (F.col("__before") + F.col("__ls") - F.col("__m")).cast("long"),
+    )
+    return out.drop("__b", "__ls", "__m", "__before")
 
 
 def session_stats(
@@ -295,15 +358,19 @@ def session_stats(
     gap_s: float,
     value_col: Optional[str] = None,
     order_tiebreak: Optional[str] = None,
+    bucket_s: Optional[float] = None,
 ) -> DataFrame:
     """Per-session rollup: bounds, event count, duration, optional value sum.
 
     The groupBy reuses the sessionizer's hash partitioning on ``key``
     (Catalyst sees the child exchange already satisfies the grouping's
     distribution requirement on the prefix), so the rollup adds no second
-    full shuffle of the event table.
+    full shuffle of the event table. ``bucket_s`` passes through to the
+    sessionizer's skew guard.
     """
-    s = sessionize(df, key, ts, gap_s, order_tiebreak=order_tiebreak)
+    s = sessionize(
+        df, key, ts, gap_s, order_tiebreak=order_tiebreak, bucket_s=bucket_s
+    )
     sec = _as_seconds(F.col(ts), df.schema[ts].dataType)
     aggs = [
         F.count(F.lit(1)).alias("n_events"),

@@ -230,6 +230,32 @@ def test_sessionize_matches_brute_force(spark):
     assert got == _brute_sessions(rows, 10.0)
 
 
+@pytest.mark.parametrize("bucket_s", [5.0, 17.0, 10_000.0])
+def test_sessionize_bucketed_equals_unbucketed(spark, bucket_s):
+    """Skew-guard sessionization (bucket + boundary stitch) ≡ plain —
+    including sessions that span several buckets and empty buckets between
+    events of one session."""
+    rng = random.Random(23)
+    rows = [
+        (f"u{rng.randrange(6)}", float(rng.randrange(0, 400)), i) for i in range(500)
+    ]
+    # a hot key with dense and sparse stretches
+    rows += [("hot", float(t), 1000 + t) for t in range(0, 120)]
+    rows += [("hot", 300.0 + 40.0 * j, 2000 + j) for j in range(5)]
+    df = spark.createDataFrame(rows, "key string, ts double, id long")
+    plain = {
+        r.id: r.session_seq
+        for r in sessionize(df, "key", "ts", 12.0, order_tiebreak="id").collect()
+    }
+    bucketed = {
+        r.id: r.session_seq
+        for r in sessionize(
+            df, "key", "ts", 12.0, order_tiebreak="id", bucket_s=bucket_s
+        ).collect()
+    }
+    assert bucketed == plain
+
+
 def test_sessionize_gap_boundary_inclusive(spark):
     # exactly gap_s after the predecessor CONTINUES the session (> not >=)
     df = spark.createDataFrame(
