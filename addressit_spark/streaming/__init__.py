@@ -5,4 +5,5 @@ from addressit_spark.streaming.incremental import (  # noqa: F401
     streaming_block_stats,
     streaming_exact_dedup,
     streaming_parse,
+    streaming_session_stats,
 )

@@ -105,6 +105,40 @@ def streaming_block_stats(
     )
 
 
+def streaming_session_stats(
+    documents: DataFrame,
+    locale: str = "en-US",
+    gap: str = "45500 milliseconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-block ingest sessions via engine-managed ``session_window`` state.
+
+    The streaming twin of the batch ``operators.temporal.sessionize``:
+    gap-based sessions of parse activity per blocking key, with merge logic
+    and state eviction handled by the engine (windows close once the
+    watermark passes their gap horizon — bounded state on an unbounded
+    stream). Boundary semantics differ from the batch operator by the
+    half-open window convention: ``session_window`` merges events strictly
+    closer than ``gap``, the batch sessionizer also merges at exactly
+    ``gap`` — pick a gap between the data's timestamp quanta (e.g. a
+    fractional-second gap on whole-second data) and the two agree exactly
+    (asserted in tests). ``session_end`` is last event + gap (the engine's
+    convention), so batch parity compares starts/counts.
+    """
+    addrs = _addresses_with_ts(streaming_parse(documents, locale))
+    return (
+        addrs.withWatermark("ingest_ts", watermark)
+        .groupBy(F.session_window("ingest_ts", gap).alias("sw"), "block_key")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "block_key",
+            "n_spans",
+        )
+    )
+
+
 def _addresses_with_ts(parsed_spans: DataFrame) -> DataFrame:
     """address_table projection that keeps the event-time column."""
     a = parsed_spans.where(

@@ -13,6 +13,7 @@ from addressit_spark.streaming import (
     streaming_block_stats,
     streaming_exact_dedup,
     streaming_parse,
+    streaming_session_stats,
 )
 
 
@@ -98,6 +99,38 @@ def test_streaming_block_stats_matches_batch_totals(spark, stream_dir):
         for r in batch.groupBy("block_key").agg(F.count(F.lit(1)).alias("total")).collect()
     }
     assert per_block_stream == per_block_batch and len(per_block_batch) > 0
+
+
+def test_streaming_session_stats_matches_batch_sessionize(spark, stream_dir):
+    """Engine session windows ≡ the batch gap sessionizer on the same data.
+
+    The stream fixture's ingest_ts is whole seconds; the 45.5 s gap sits
+    between quanta, so the strict-vs-inclusive boundary conventions of the
+    two operators can never disagree here (see operator docstring).
+    """
+    from addressit_spark.operators.temporal import session_stats
+    from addressit_spark.streaming.incremental import _addresses_with_ts
+
+    stream = streaming_session_stats(
+        stream_documents(spark, stream_dir), gap="45500 milliseconds"
+    )
+    # session-window aggs forbid update mode; complete keeps every
+    # (merged-final) session in the sink, which is exactly the batch answer
+    got = _run_stream(spark, stream, "t_sessions", mode="complete")
+    g = {
+        (r["block_key"], r["session_start"]): r["n_spans"]
+        for r in got.collect()
+    }
+    batch_addrs = _addresses_with_ts(
+        streaming_parse(spark.read.parquet(stream_dir))
+    )
+    b = {
+        (r["block_key"], r["session_start"]): r["n_events"]
+        for r in session_stats(
+            batch_addrs, "block_key", "ingest_ts", 45.5, order_tiebreak="uid"
+        ).collect()
+    }
+    assert g == b and len(g) > 0
 
 
 def test_running_block_counts_stateful(spark, stream_dir):
