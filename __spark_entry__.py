@@ -330,6 +330,24 @@ def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction: schema-projected ``from_json`` (JVM-side,
+    no UDF), aggregated per event type — the semi-structured-column idiom."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k LONG").getField("k")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_null"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_doc_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated quantiles of document length per language.
 
@@ -724,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "events_type_pivot": q_events_type_pivot,
         "user_event_setops": q_user_event_setops,
+        "events_json_props": q_events_json_props,
         # quantiles / distinct sketches
         "doc_len_quantiles": q_doc_len_quantiles,
         "doc_distinct_exact": q_doc_distinct_exact,
@@ -974,6 +993,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
                    count(*) FILTER (WHERE event_type = 'view') AS n_view
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   round(avg(k), 4) AS avg_k,
+                   CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type ORDER BY event_type
         """,
         "user_event_setops": """
             WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
