@@ -67,6 +67,38 @@ def test_no_cartesian_products_anywhere(spark):
         assert "CartesianProduct" not in full, name
 
 
+def test_events_order_asof_pushes_filter_single_window_exchange(spark):
+    """The as-of query pushes the user filter into the events scan and plans
+    as window-over-union — no nested-loop/range join, no per-row Python."""
+    df = entry_mod.queries()["events_order_asof"](spark, SF_DIR)
+    full = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "LessThan(user_id,50)" in full.replace(" ", "").replace("u50", "u50")
+    assert "BroadcastNestedLoopJoin" not in full and "CartesianProduct" not in full
+    assert "EvalPython" not in full
+    assert full.count("Window") >= 1
+
+
+def test_events_type_pivot_single_scan(spark):
+    """Explicit pivot values → one events scan, no distinct-values pre-pass."""
+    df = entry_mod.queries()["events_type_pivot"](spark, SF_DIR)
+    full = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # exactly one file-scan node (the tree line and the node detail both
+    # say "Scan parquet", so count scan Locations instead)
+    assert full.count("Location: InMemoryFileIndex") == 1, full[:1500]
+    assert "pivotfirst" in full  # the single-pass explicit-values pivot
+
+
+def test_user_sessions_single_event_exchange(spark):
+    """Sessionize + rollup reuse one hashpartitioning(user_id) exchange."""
+    df = entry_mod.queries()["user_sessions"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + final sort only
+
+
 def test_parse_stage_is_arrow_eval(spark):
     """The parse UDF must plan as ArrowEvalPython (vectorized), never
     BatchEvalPython (row-at-a-time pickling)."""
