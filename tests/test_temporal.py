@@ -143,6 +143,42 @@ def test_asof_bucketed_equals_unbucketed(frames, direction, strict, bucket_s):
     assert bucketed == plain
 
 
+def test_asof_bucketed_boundary_cases(spark):
+    """Rows exactly on bucket edges: a right row AT a bucket start belongs to
+    that bucket (never a carry), inclusive/strict matching at the edge, and
+    a bucket with no right rows anywhere before it stays unmatched."""
+    ldf = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", 20.0, 2), ("b", 35.0, 3), ("c", 5.0, 4)],
+        "key string, lts double, lid long",
+    )
+    rdf = spark.createDataFrame(
+        # a@10.0 sits exactly on the bucket-1 boundary; a@9.9 is bucket 0
+        [("a", 10.0, 100), ("a", 9.9, 101), ("b", 19.9, 102)],
+        "key string, rts double, rid long",
+    )
+
+    def run(**kw):
+        return {
+            r.lid: r.rid
+            for r in asof_join(
+                ldf, rdf, "key", "lts", "rts",
+                payload_cols=["rid"], bucket_s=10.0, tiebreak="rid", **kw
+            ).collect()
+        }
+
+    # inclusive backward: left a@10 takes right a@10 (same bucket, same ts);
+    # left a@20 carries a@10 over the empty bucket; b@35 carries b@19.9
+    # across two bucket hops; c has no rights at all
+    assert run() == {1: 100, 2: 100, 3: 102, 4: None}
+    # strict backward: a@10 must NOT see a@10 — falls back to the 9.9 carry
+    assert run(strict=True) == {1: 101, 2: 100, 3: 102, 4: None}
+    # forward: only a@10 has a right row at-or-after it
+    assert run(direction="forward") == {1: 100, 2: None, 3: None, 4: None}
+    assert run(direction="forward", strict=True) == {
+        1: None, 2: None, 3: None, 4: None,
+    }
+
+
 def test_asof_bucketed_tolerance(frames):
     left, right, ldf, rdf = frames
     kw = dict(payload_cols=["rid"], tolerance_s=25.0, tiebreak="rid")
