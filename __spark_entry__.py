@@ -49,6 +49,7 @@ from addressit_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from addressit_spark.operators.profile import profile
 from addressit_spark.operators.temporal import asof_join, session_stats
 from addressit_spark.operators.text import (
     _LANG_PROFILES,
@@ -345,6 +346,33 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_null"),
         )
         .orderBy("event_type")
+    )
+
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table — the pre-ingest validation
+    pass (counts, nulls, distincts, lexical bounds) in one scan."""
+    d = _t(spark, sf_dir, "documents")
+    return profile(d, ["doc_id", "lang", "source", "n_chars"]).orderBy("column")
+
+
+def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ outliers per event type via window stats — anomaly triage over the
+    event stream, single shuffle on the type key."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    mean = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return (
+        e.withColumn("_thr", mean + 3 * sd)
+        .where(F.col("value") > F.col("_thr"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round("_thr", 4).alias("threshold"),
+        )
+        .orderBy("event_id")
     )
 
 
@@ -743,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_pivot": q_events_type_pivot,
         "user_event_setops": q_user_event_setops,
         "events_json_props": q_events_json_props,
+        "events_value_outliers": q_events_value_outliers,
+        "doc_profile": q_doc_profile,
         # quantiles / distinct sketches
         "doc_len_quantiles": q_doc_len_quantiles,
         "doc_distinct_exact": q_doc_distinct_exact,
@@ -993,6 +1023,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
                    count(*) FILTER (WHERE event_type = 'view') AS n_view
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "doc_profile": """
+            SELECT 'doc_id' AS "column", count(*) AS n,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_val,
+                   CAST(max(doc_id) AS VARCHAR) AS max_val
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*),
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT lang), min(lang), max(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*),
+                   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT source), min(source), max(source)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*),
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents
+            ORDER BY "column"
+        """,
+        "events_value_outliers": """
+            SELECT event_id, event_type,
+                   round(value, 4) AS value,
+                   round(thr, 4) AS threshold
+            FROM (
+              SELECT event_id, event_type, value,
+                     avg(value) OVER (PARTITION BY event_type)
+                       + 3 * stddev_samp(value) OVER (PARTITION BY event_type) AS thr
+              FROM events)
+            WHERE value > thr
+            ORDER BY event_id
         """,
         "events_json_props": """
             SELECT event_type,
