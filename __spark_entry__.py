@@ -349,6 +349,54 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_in_order_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events landing inside the 7-day window after each of
+    the same user's orders.
+
+    Equi-key (user) + range predicate — Catalyst plans the equality as the
+    join key and evaluates the BETWEEN as a join condition, so the expansion
+    is bounded by true matches (no cross product). Events are shifted into
+    the order-date era as in ``events_order_asof``.
+    """
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 30)
+        .withColumn("ets", F.col("ts") - F.expr("INTERVAL 26 YEARS"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = e.join(
+        o,
+        (e.user_id == o.o_custkey)
+        & (e.ets >= o.o_orderdate)
+        & (e.ets < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")),
+    )
+    return (
+        j.groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the pivoted per-user type counts back to long form —
+    wide→long reshaping without touching the raw table again."""
+    p = q_events_type_pivot(spark, sf_dir)
+    return (
+        p.unpivot(
+            "user_id",
+            [f"n_{t}" for t in _EVENT_TYPES],
+            "event_type",
+            "n_events",
+        )
+        .where(F.col("n_events") > 0)
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .orderBy("user_id", "event_type")
+    )
+
+
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of the documents table — the pre-ingest validation
     pass (counts, nulls, distincts, lexical bounds) in one scan."""
@@ -773,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "events_value_outliers": q_events_value_outliers,
         "doc_profile": q_doc_profile,
+        "events_in_order_week": q_events_in_order_week,
+        "events_type_unpivot": q_events_type_unpivot,
         # quantiles / distinct sketches
         "doc_len_quantiles": q_doc_len_quantiles,
         "doc_distinct_exact": q_doc_distinct_exact,
@@ -1023,6 +1073,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
                    count(*) FILTER (WHERE event_type = 'view') AS n_view
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "events_in_order_week": """
+            WITH e AS (
+              SELECT user_id, value, ts - INTERVAL 26 YEAR AS ets
+              FROM events WHERE user_id < 30)
+            SELECT o_orderkey, o_custkey,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM e JOIN orders
+              ON e.user_id = o_custkey
+             AND e.ets >= o_orderdate
+             AND e.ets < o_orderdate + INTERVAL 7 DAY
+            GROUP BY o_orderkey, o_custkey
+            ORDER BY o_orderkey
+        """,
+        "events_type_unpivot": """
+            WITH p AS (
+              SELECT user_id,
+                     count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                     count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                     count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                     count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                     count(*) FILTER (WHERE event_type = 'view') AS n_view
+              FROM events GROUP BY user_id),
+            u AS (
+              SELECT user_id, 'click' AS event_type, n_click AS n_events FROM p
+              UNION ALL SELECT user_id, 'error', n_error FROM p
+              UNION ALL SELECT user_id, 'purchase', n_purchase FROM p
+              UNION ALL SELECT user_id, 'signup', n_signup FROM p
+              UNION ALL SELECT user_id, 'view', n_view FROM p)
+            SELECT user_id, event_type, n_events FROM u
+            WHERE n_events > 0 ORDER BY user_id, event_type
         """,
         "doc_profile": """
             SELECT 'doc_id' AS "column", count(*) AS n,
