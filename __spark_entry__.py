@@ -445,6 +445,29 @@ def q_doc_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_len_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch twin of ``doc_len_quantiles`` (rows-only: the
+    Greenwald-Khanna approximation is engine-specific).
+
+    At 100 TB the exact percentile's per-group sort is replaced by a
+    bounded-size mergeable sketch (map-side partials); accuracy vs the
+    exact twin is asserted in tests.
+    """
+    d = _t(spark, sf_dir, "documents")
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.percentile_approx("n_chars", p, 10_000).alias(name)
+                for name, p in qs.items()
+            ],
+        )
+        .orderBy("lang")
+    )
+
+
 def q_doc_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct content counts per source — the oracle twin of the
     HLL sketch query ``doc_distinct_approx``."""
@@ -825,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_unpivot": q_events_type_unpivot,
         # quantiles / distinct sketches
         "doc_len_quantiles": q_doc_len_quantiles,
+        "doc_len_quantiles_approx": q_doc_len_quantiles_approx,
         "doc_distinct_exact": q_doc_distinct_exact,
         "doc_distinct_approx": q_doc_distinct_approx,
         # text analysis (SQL oracles)

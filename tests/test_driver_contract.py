@@ -94,6 +94,21 @@ def test_hll_sketch_tracks_exact(spark):
         ), (r.source, r.n_distinct_approx, exact[r.source])
 
 
+def test_quantile_sketch_tracks_exact(spark):
+    """percentile_approx (accuracy 10k) lands within one rank-neighborhood
+    of the exact interpolated quantiles."""
+    qs = entry_mod.queries()
+    exact = {r.lang: r for r in qs["doc_len_quantiles"](spark, SF_DIR).collect()}
+    for r in qs["doc_len_quantiles_approx"](spark, SF_DIR).collect():
+        e = exact[r.lang]
+        for c in ("p25", "p50", "p75", "p95"):
+            # approx returns an actual data value; exact interpolates —
+            # allow 5% relative slack around the interpolated value
+            assert abs(getattr(r, c) - getattr(e, c)) <= max(
+                0.05 * getattr(e, c), 2.0
+            ), (r.lang, c, getattr(r, c), getattr(e, c))
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = {r["metric"]: r["value"] for r in df.collect()}
