@@ -38,6 +38,26 @@ ONLY_ER = os.environ.get("SPARK_GRAFT_BENCH_ONLY_ER", "") == "1"  # scaling mode
 SKIP_FULL = os.environ.get("SPARK_GRAFT_SKIP_FULL", "") == "1"  # scaling mode
 QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))  # best-of-N
 
+# headline query set timed per round (must all exist in __spark_entry__.queries();
+# asserted by tests/test_driver_contract.py so a rename can't break the driver run)
+HEADLINE_QUERIES = [
+    "pricing_summary",
+    "top_customers",
+    "regional_revenue",
+    "events_user_top",
+    "events_hourly",
+    "events_order_asof",
+    "user_sessions",
+    "doc_token_stats",
+    "doc_quality",
+    "exact_dup_prefix",
+    "ngram_jaccard",
+    "minhash_dups",
+    "simhash_dups",
+    "embedding_topk",
+    "embedding_dup_lsh",
+]
+
 
 def _sf_number(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -105,23 +125,7 @@ def run_bench() -> dict:
     # of the plan (row count is projection-independent) — checksum a result
     # column instead so the operator genuinely executes
     checksum_col = {"events_order_asof": "last_totalprice", "user_sessions": "duration_s"}
-    for name in [] if ONLY_ER else [
-        "pricing_summary",
-        "top_customers",
-        "regional_revenue",
-        "events_user_top",
-        "events_hourly",
-        "events_order_asof",
-        "user_sessions",
-        "doc_token_stats",
-        "doc_quality",
-        "exact_dup_prefix",
-        "ngram_jaccard",
-        "minhash_dups",
-        "simhash_dups",
-        "embedding_topk",
-        "embedding_dup_lsh",
-    ]:
+    for name in [] if ONLY_ER else HEADLINE_QUERIES:
         if name in checksum_col:
             timed_best(
                 name,

@@ -109,6 +109,17 @@ def test_quantile_sketch_tracks_exact(spark):
             ), (r.lang, c, getattr(r, c), getattr(e, c))
 
 
+def test_bench_headline_names_exist():
+    """bench.py's timed query list must stay in sync with queries() —
+    a rename would otherwise only surface as a KeyError in the driver's
+    per-round bench run."""
+    import bench
+
+    missing = set(bench.HEADLINE_QUERIES) - set(entry_mod.queries())
+    assert not missing, missing
+    assert set(bench.HEADLINE_QUERIES) & set(entry_mod.oracle_sql())
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = {r["metric"]: r["value"] for r in df.collect()}
