@@ -54,17 +54,24 @@ rl.on('line', (line) => {
 });
 """
 
-UNITS = ["Shop 8,", "Shop 22,", "APT 12", "FLAT 2", "UNIT 7", "#950", "#3", ""]
-NUMBERS = ["431", "5", "10", "1404", "5 10", "8/431", "10/15/20", ""]
+UNITS = [
+    "Shop 8,", "Shop 22,", "APT 12", "FLAT 2", "UNIT 7", "#950", "#3",
+    "Apt. 4", "U2", "",
+]
+NUMBERS = ["431", "5", "10", "1404", "5 10", "8/431", "10/15/20", "12-14", ""]
 STREET_NAMES = [
     "St Kilda", "Main", "Queen", "Victoria", "Punt", "Robinson", "Old Northern",
-    "BROADWAY", "Soldiers Point", "The Horsley", "Grand Junction", "",
+    "BROADWAY", "Soldiers Point", "The Horsley", "Grand Junction",
+    "St. Kilda", "Forty-Second", "O'Connell", "Smith & Jones", "Mt Druitt", "",
 ]
-STREET_TYPES = ["Rd", "St", "Street", "Ave", "Avenue", "TERR", "Lane", "Dr", "Pde", ""]
-DIRECTIONS = ["West", "N", "East,", "South", ""]
+STREET_TYPES = [
+    "Rd", "St", "Street", "Ave", "Avenue", "TERR", "Lane", "Dr", "Pde",
+    "Rd.", "St.", "Hwy", "Cct", "",
+]
+DIRECTIONS = ["West", "N", "East,", "South", "N.", ""]
 LOCALITIES = [
     "Melbourne", "Sydney", "Aspley", "Cremorne", "FRENCHS FOREST", "New York,",
-    "York,", "Salamander Bay", "",
+    "York,", "Salamander Bay", "St. Leonards", "(Inner) City", "",
 ]
 TAILS_US = ["NY", "NY 10010", "CA 90210-1234", "TEXAS", "USA", "10010-1234", ""]
 TAILS_AU = ["VIC", "NSW 2100", "QLD", "2000", "X2000", "BOOM", "909", ""]
