@@ -603,6 +603,34 @@ def q_ngram_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table, top 25 — the n-gram statistics pass a
+    tokenizer-training pipeline runs over the corpus. Pure array exprs
+    (no UDF): adjacent-token pairs via a sequence transform, exploded and
+    counted; ties broken lexically for determinism."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__toks",
+        F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != ""),
+    )
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__toks)-1),"
+            " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i+1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 25)
+        .select("rank", "bigram", "n")
+        .orderBy("rank")
+    )
+
+
 def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf, deterministic ties)."""
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3).orderBy(
@@ -857,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "lang_share": q_lang_share,
         "doc_tfidf_terms": q_doc_tfidf_terms,
+        "doc_top_bigrams": q_doc_top_bigrams,
         # dedup (SQL oracles where portable)
         "exact_dup_full": q_exact_dup_full,
         "exact_dup_prefix": q_exact_dup_prefix,
@@ -1317,6 +1346,23 @@ def oracle_sql() -> dict[str, str]:
             HAVING round(count(*) * 1.0 /
                          (any_value(a.set_size) + any_value(b.set_size) - count(*)), 6) >= 0.2
             ORDER BY id_a, id_b
+        """,
+        "doc_top_bigrams": f"""
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 t -> t != '') AS tt
+              FROM documents),
+            bg AS (
+              SELECT unnest([array_to_string(tt[i:i+1], ' ')
+                             for i in range(1, greatest(len(tt)-1, 0)+1)]) AS bigram
+              FROM toks),
+            counted AS (
+              SELECT bigram, count(*) AS n FROM bg GROUP BY bigram),
+            ranked AS (
+              SELECT bigram, n,
+                     row_number() OVER (ORDER BY n DESC, bigram) AS rank
+              FROM counted)
+            SELECT rank, bigram, n FROM ranked WHERE rank <= 25 ORDER BY rank
         """,
         "doc_tfidf_terms": f"""
             WITH toks AS (
