@@ -619,13 +619,18 @@ def q_doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i+1)))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (
+    counted = (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 25)
+    )
+    # distributed top-k (TakeOrderedAndProject) over the full count table —
+    # a global row_number window here would sort every distinct bigram in
+    # ONE task; the rank window below runs on the surviving 25 rows only
+    top = counted.orderBy(F.col("n").desc(), "bigram").limit(25)
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "bigram", "n")
         .orderBy("rank")
     )
