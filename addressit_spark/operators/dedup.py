@@ -158,6 +158,30 @@ def shingle_table(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str
     )
 
 
+def _log_dropped_shingles(obs: "Observation", max_shingle_df: int) -> None:
+    """Log the observed dropped-shingle count once the plan first executes.
+
+    ``Observation.get`` blocks until the first action touches the observed
+    subtree, so the wait lives on a daemon thread: construction stays
+    job-free, the metric costs nothing extra (CollectMetrics rides the
+    anti-join's own pass), and a plan that is built but never executed
+    simply never logs.
+    """
+    import threading
+
+    def _wait_and_log() -> None:
+        try:
+            n = obs.get["n_dropped_shingles"]
+        except Exception:  # session torn down before any action — nothing to log
+            return
+        logging.getLogger(__name__).warning(
+            "ngram_jaccard_pairs: dropped %d distinct shingles with df > %d "
+            "before the similarity self-join", n, max_shingle_df,
+        )
+
+    threading.Thread(target=_wait_and_log, daemon=True).start()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -179,32 +203,35 @@ def ngram_jaccard_pairs(
     *before* the join — from both the intersection AND the set sizes, i.e.
     the result is the exact Jaccard over the filtered shingle vocabulary
     (stop-word-removal semantics, not a silently biased |A∩B|). The number
-    of distinct dropped shingles is logged (no silent caps) from the
-    materialized hot-shingle list, not a dedicated scan. NOTE: construction
-    is EAGER — this builder checkpoints the shingle table (and, with the
-    cap, the hot list) at call time so the self-join branches share one
-    scan; callers get Spark jobs before the first action on the result.
-    ``None`` (the default) keeps the fully exact semantics for oracle
-    comparison.
+    of distinct dropped shingles is logged (no silent caps) via a
+    ``DataFrame.observe`` metric on the hot-shingle subtree — collected for
+    free by the first action on the result, never by a dedicated job.
+    Construction is fully LAZY: the shared-subtree checkpoints are
+    ``eager=False``, so building this DataFrame launches no Spark jobs
+    (asserted in tests). ``None`` (the default) keeps the fully exact
+    semantics for oracle comparison.
     """
-    # materialize once — both self-join branches read the same blocks.
-    # NOTE: this builder is eager by design (reuse() checkpoints the shingle
-    # table at construction so the self-join branches share one scan); the
-    # max_shingle_df branch adds one more eager job to materialize the (tiny)
-    # hot-shingle list, which both the logged drop count and the anti-join
-    # then read — no separate count-only scan of the shingle table.
-    s = reuse(shingle_table(df, n, text_col, id_col))
+    # materialize once (lazily) — both self-join branches read the same
+    # blocks once the first action runs; construction stays job-free.
+    s = reuse(shingle_table(df, n, text_col, id_col), eager=False)
     if max_shingle_df is not None:
+        from pyspark.sql import Observation
+
         dfreq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        hot = reuse(dfreq.where(F.col("_df") > max_shingle_df).select("shingle"))
-        logging.getLogger(__name__).warning(
-            "ngram_jaccard_pairs: dropping %d distinct shingles with df > %d "
-            "before the similarity self-join", hot.count(), max_shingle_df,
+        obs = Observation()
+        # the hot list is consumed exactly once (the anti-join build side),
+        # so no checkpoint; the CollectMetrics node rides the same pass and
+        # counts the distinct dropped shingles as a side effect.
+        hot = (
+            dfreq.where(F.col("_df") > max_shingle_df)
+            .select("shingle")
+            .observe(obs, F.count(F.lit(1)).alias("n_dropped_shingles"))
         )
+        _log_dropped_shingles(obs, max_shingle_df)
         kept = s.join(hot, "shingle", "left_anti")
         # set sizes must reflect the filtered vocabulary
         sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-        s = reuse(kept.select("doc_id", "shingle").join(sizes, "doc_id"))
+        s = kept.select("doc_id", "shingle").join(sizes, "doc_id")
     a = s.select(
         F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
     )

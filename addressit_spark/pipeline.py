@@ -56,8 +56,17 @@ def run_pipeline(
     checkpoint_dir: Optional[str] = None,
     resume: bool = True,
     input_fingerprint: str = "",
+    max_block_surfaces: "int | None | str" = "auto",
 ) -> PipelineResult:
-    """Run the full ER pipeline; snapshot each stage when checkpoint_dir set."""
+    """Run the full ER pipeline; snapshot each stage when checkpoint_dir set.
+
+    ``max_block_surfaces`` (default ``"auto"`` → ``heavy_threshold``) caps the
+    per-block DISTINCT surface count fed to the sim-dim cross: a degenerate
+    block under the row cap can't blow up the dim stage or the broadcast sim
+    table, and its skipped pairs score via the conservative miss-low default.
+    """
+    if max_block_surfaces == "auto":
+        max_block_surfaces = heavy_threshold
     store = StageStore(spark, checkpoint_dir, resume=resume)
 
     def _fp(**params: object) -> str:
@@ -83,8 +92,16 @@ def run_pipeline(
     # dirty mega-block would pay O(distinct_surfaces²) in this stage.
     sim_dims = store.run(
         "sim_dims",
-        lambda: surface_sim_map(addresses, max_block_size=max_block_size),
-        _fp(locale=locale, max_block_size=max_block_size),
+        lambda: surface_sim_map(
+            addresses,
+            max_block_size=max_block_size,
+            max_block_surfaces=max_block_surfaces,
+        ),
+        _fp(
+            locale=locale,
+            max_block_size=max_block_size,
+            max_block_surfaces=max_block_surfaces,
+        ),
     )
 
     dropped_holder: Dict[str, DataFrame] = {}
@@ -105,6 +122,7 @@ def run_pipeline(
         locale=locale,
         heavy_threshold=heavy_threshold,
         max_block_size=max_block_size,
+        max_block_surfaces=max_block_surfaces,
     )
     # pairs/scored are the 10^12-scale volumes: fused into the scoring pass
     # (never pinned) unless a snapshot dir makes them resume points.
@@ -134,6 +152,7 @@ def run_pipeline(
             locale=locale,
             heavy_threshold=heavy_threshold,
             max_block_size=max_block_size,
+            max_block_surfaces=max_block_surfaces,
             tau=tau,
         )
     )
@@ -144,6 +163,7 @@ def run_pipeline(
             locale=locale,
             heavy_threshold=heavy_threshold,
             max_block_size=max_block_size,
+            max_block_surfaces=max_block_surfaces,
             tau=tau,
         ),
     )

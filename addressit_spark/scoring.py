@@ -18,7 +18,7 @@ the fallback implements the standard Jaro-Winkler (verified against DuckDB's
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional
+from typing import Iterator, List, Optional, Union
 
 import numpy as np
 import pandas as pd
@@ -491,6 +491,8 @@ def surface_sim_map(
     addresses: DataFrame,
     max_block_size: Optional[int] = None,
     max_block_surfaces: Optional[int] = None,
+    surface_salt_threshold: int = 256,
+    salt_cap: int = 64,
 ) -> DataFrame:
     """Combined surface-similarity dim: ``(pair_key, sim)``.
 
@@ -516,6 +518,14 @@ def surface_sim_map(
     conservative miss default (0.0 for distinct surfaces), so this can only
     lower scores, never merge clusters. ``None`` (both defaults) keeps the
     exact full map.
+
+    ``surface_salt_threshold``/``salt_cap``: the per-block surface cross is
+    *triangle-salted* exactly like the candidate pair join — a block×tag with
+    ``S`` distinct surfaces spreads its S²/2 similarity pairs over
+    ``~(S/threshold)²/2`` reducer cells (capped) instead of landing them all
+    behind one ``(block, tag)`` join key. Exactness-preserving: the salted
+    pair set provably equals the plain per-block cross (tested), so this
+    guard is always on, unlike the opt-in volume caps above.
 
     This is the pipeline's materializable dim stage: at 10^12 pairs it is
     built once (tiny — bounded by co-occurring distinct surfaces), snapshot
@@ -552,28 +562,56 @@ def surface_sim_map(
         .select("block_key", F.col("x.t").alias("t"), F.col("x.v").alias("v"))
         .distinct()
     )
+    # per-(block, tag) distinct-surface counts drive BOTH the degenerate-
+    # block cap and the salt bucket count, so they're computed once
+    scounts = stacked.groupBy("block_key", "t").agg(
+        F.count(F.lit(1)).alias("_ns")
+    )
     if max_block_surfaces is not None:
-        scounts = stacked.groupBy("block_key", "t").agg(
-            F.count(F.lit(1)).alias("_ns")
+        scounts = scounts.where(F.col("_ns") <= max_block_surfaces)
+    # inner join doubles as the cap filter (scounts rows above the cap are
+    # gone, so their block×tag surfaces drop out here)
+    salted = (
+        stacked.join(scounts, ["block_key", "t"])
+        .withColumn(
+            "_nb",
+            F.least(
+                F.ceil(F.col("_ns") / F.lit(surface_salt_threshold)),
+                F.lit(salt_cap),
+            ).cast("int"),
         )
-        stacked = stacked.join(
-            scounts.where(F.col("_ns") > max_block_surfaces).select(
-                "block_key", "t"
-            ),
-            ["block_key", "t"],
-            "left_anti",
+        .withColumn("_sb", F.pmod(F.xxhash64("v"), F.col("_nb")).cast("int"))
+        # tag folded into the 8-byte join key: street and locality crosses
+        # ride ONE self-join instead of two unioned ones
+        .withColumn("_bk", F.xxhash64("block_key", "t"))
+    )
+    left = salted.select(
+        "_bk",
+        F.col("_sb").alias("lo"),
+        F.explode(F.sequence(F.col("_sb"), F.col("_nb") - 1)).alias("hi"),
+        F.col("v").alias("_va"),
+    )
+    right = salted.select(
+        "_bk",
+        F.explode(F.sequence(F.lit(0), F.col("_sb"))).alias("lo"),
+        F.col("_sb").alias("hi"),
+        F.col("v").alias("_vb"),
+    )
+    # merge-pinned for the same reason as salted_pair_join: a bad size
+    # estimate must never broadcast the replicated side. Cross-bucket pairs
+    # meet exactly once (bucket orientation — least/greatest canonicalizes);
+    # same-bucket pairs meet twice and keep the string-ordered one, which
+    # also keeps the diagonal (a == b) exactly once.
+    crossed = (
+        left.hint("merge")
+        .join(right.hint("merge"), ["_bk", "lo", "hi"])
+        .where((F.col("lo") != F.col("hi")) | (F.col("_va") <= F.col("_vb")))
+        .select(
+            F.least("_va", "_vb").alias("a"),
+            F.greatest("_va", "_vb").alias("b"),
         )
-
-    def crossed_for(tag: str) -> DataFrame:
-        d = stacked.where(F.col("t") == tag).select("block_key", "v")
-        return (
-            d.select("block_key", F.col("v").alias("a"))
-            .join(d.select("block_key", F.col("v").alias("b")), "block_key")
-            .where(F.col("a") <= F.col("b"))  # canonical: each unordered pair once
-            .select("a", "b")
-        )
-
-    crossed = crossed_for("s").unionByName(crossed_for("l")).distinct()
+        .distinct()
+    )
     m = F.greatest(F.length("a"), F.length("b"))
     lev_sim = F.lit(1.0) - F.levenshtein("a", "b") / m
     sim = (
@@ -598,6 +636,7 @@ def score_pairs_fused(
     salt_cap: int = 64,
     max_block_size: int = 100_000,
     sims: Optional[DataFrame] = None,
+    max_block_surfaces: "Union[int, None, str]" = "auto",
 ) -> "tuple[DataFrame, DataFrame]":
     """Blocking + scoring fused, with interned surface ids — the hot path.
 
@@ -628,14 +667,29 @@ def score_pairs_fused(
     from a checkpoint snapshot, or pre-materialized so many scoring passes
     share one build); ``None`` builds it inline in the same plan.
 
+    ``max_block_surfaces``: forwarded to the inline :func:`surface_sim_map`
+    build. The default ``"auto"`` resolves to ``heavy_threshold`` — a block
+    that is under the row cap but has a degenerate number of DISTINCT
+    surfaces (~rows² similarity pairs in the "tiny" dim stage, and a
+    broadcast sim table that is no longer tiny) skips its surface cross, and
+    its distinct-surface pairs read the conservative miss default (0.0) —
+    scores can only go DOWN, never merge clusters. ``None`` disables the cap
+    (exact full map); ignored when ``sims`` is precomputed.
+
     Returns ``(scored, dropped_blocks)``.
     """
     from addressit_spark.blocking import salted_pair_join
 
     if sims is None:
+        if max_block_surfaces == "auto":
+            max_block_surfaces = heavy_threshold
         # the same block-size cap candidate generation applies below: sim
         # rows for dropped blocks would never be consumed
-        sims = surface_sim_map(addresses, max_block_size=max_block_size)
+        sims = surface_sim_map(
+            addresses,
+            max_block_size=max_block_size,
+            max_block_surfaces=max_block_surfaces,
+        )
     sj = sims.select(
         F.col("pair_key").alias("_skey"), F.col("sim").alias("_jw_street")
     )

@@ -32,6 +32,14 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
-def reuse(df: DataFrame) -> DataFrame:
-    """Materialize once (eager localCheckpoint) for multi-branch reuse."""
-    return df.localCheckpoint(eager=True)
+def reuse(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize once (localCheckpoint) for multi-branch reuse.
+
+    ``eager=False`` keeps construction job-free: the checkpoint materializes
+    inside the first action instead (the RDD is persisted, so concurrent
+    branch tasks on one partition compute it once — block-level locking —
+    with a bounded, rare 2× worst case across executors on a real cluster).
+    Builders that are called at plan-construction time should prefer it so
+    building a DataFrame never launches Spark jobs.
+    """
+    return df.localCheckpoint(eager=eager)

@@ -171,7 +171,7 @@ def run_bench() -> dict:
     # misattribute a fixed dim-build to the per-pair metric by ~1000×.
     # same block-size cap as the production pipeline's sim stage
     sims = timed_best_ckpt(
-        "er_sim_dims", lambda: surface_sim_map(addresses, max_block_size=100_000)
+        "er_sim_dims", lambda: surface_sim_map(addresses, max_block_size=100_000, max_block_surfaces=256)
     )
 
     # Scoring throughput (the north metric: candidate-pairs-scored/sec),
@@ -280,7 +280,7 @@ def run_inc_cc_bench() -> dict:
     n_entities = ER_ENTITIES or entry_mod._entities_for(SF_DIR)
     corpus = documents_view(synth_corpus(spark, n_entities, seed=42))
     addresses = address_table(parse_spans(corpus)).localCheckpoint(eager=True)
-    sims = surface_sim_map(addresses, max_block_size=100_000).localCheckpoint(eager=True)
+    sims = surface_sim_map(addresses, max_block_size=100_000, max_block_surfaces=256).localCheckpoint(eager=True)
     scored, _ = score_pairs_fused(addresses, sims=sims)
     edges = match_edges(scored).localCheckpoint(eager=True)
     n_edges = edges.count()
@@ -440,7 +440,7 @@ def run_scaling_worker() -> dict:
     addresses = spark.read.parquet(os.environ["SG_ADDR"]).localCheckpoint(eager=True)
     n_addr = addresses.count()
     t0 = _t.monotonic()
-    sims = surface_sim_map(addresses, max_block_size=100_000).localCheckpoint(
+    sims = surface_sim_map(addresses, max_block_size=100_000, max_block_surfaces=256).localCheckpoint(
         eager=True
     )
     sim_sec = round(_t.monotonic() - t0, 3)

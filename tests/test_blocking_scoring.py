@@ -297,6 +297,79 @@ def test_surface_sim_map_block_caps(spark):
     assert surf_capped < capped
 
 
+def test_surface_sim_map_salted_cross_exact(spark):
+    """The triangle-salted per-block surface cross == the plain cross.
+
+    Round-3 verdict #1: the sim-dim per-block surface cross was a plain
+    single-key join — one block with many distinct surfaces pinned one
+    reducer. The cross is now triangle-salted (like salted_pair_join);
+    exactness must hold at any bucket count.
+    """
+    from addressit_spark.scoring import surface_sim_map
+
+    rows = [
+        # one dense block: 13 distinct street surfaces, 7 localities
+        ("dense", "u%d" % i, "STREET %d" % (i % 13), "TOWN %d" % (i % 7),
+         str(i % 3), None)
+        for i in range(40)
+    ] + [
+        # a second block sharing some surfaces (tests cross-block dedup)
+        ("other", "v%d" % i, "STREET %d" % (i % 5), "TOWN %d" % (i % 2),
+         "9", "U%d" % i)
+        for i in range(10)
+    ]
+    addrs = spark.createDataFrame(
+        rows, "block_key string, uid string, street_norm string, "
+              "locality string, number string, unit string"
+    )
+    # default threshold (256) → every block fits one bucket = the plain cross
+    plain = {(r["pair_key"], r["sim"]) for r in surface_sim_map(addrs).collect()}
+    # tiny threshold → multi-bucket salted path on both blocks
+    salted = {
+        (r["pair_key"], r["sim"])
+        for r in surface_sim_map(
+            addrs, surface_salt_threshold=2, salt_cap=8
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+
+def test_fused_degenerate_surface_block_capped_by_default(spark):
+    """A block under the row cap but with degenerate DISTINCT-surface count
+    must not build its surface cross: score_pairs_fused defaults
+    max_block_surfaces to heavy_threshold, and the skipped pairs read the
+    conservative miss-low default (equal surfaces still 1.0)."""
+    from addressit_spark.scoring import (
+        W_LOCALITY, W_NUMBER, W_UNIT, score_pairs_fused,
+    )
+
+    rows = [
+        # 5 distinct street surfaces in one block (> heavy_threshold=2),
+        # single shared locality (1 distinct ≤ cap → locality sims survive)
+        ("b1", "u%d" % i, "STREET %d" % i, "OGDEN", "7", None)
+        for i in range(5)
+    ]
+    addrs = spark.createDataFrame(
+        rows, "block_key string, uid string, street_norm string, "
+              "locality string, number string, unit string"
+    )
+    scored, _ = score_pairs_fused(addrs, heavy_threshold=2, salt_cap=4)
+    got = {(r["uid_a"], r["uid_b"]): r["score"] for r in scored.collect()}
+    assert len(got) == 10  # all pairs still generated — only sims are capped
+    # street surfaces distinct + cross skipped → street term 0.0; locality
+    # equal → diagonal short-circuit 1.0; number equal; unit both-null 1.0
+    expect = W_LOCALITY + W_NUMBER + W_UNIT
+    assert all(abs(s - expect) < 1e-12 for s in got.values())
+    # explicit opt-out restores the exact map: distinct street pairs now
+    # score their true (sub-1.0) surface sims — every score strictly higher
+    exact, _ = score_pairs_fused(
+        addrs, heavy_threshold=2, salt_cap=4, max_block_surfaces=None
+    )
+    got_exact = {(r["uid_a"], r["uid_b"]): r["score"] for r in exact.collect()}
+    assert got_exact.keys() == got.keys()
+    assert all(got_exact[k] > got[k] for k in got)
+
+
 def test_memo_pairs_with_separator_bytes():
     """Surfaces containing \\x01 must not alias into the wrong pair.
 

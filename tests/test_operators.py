@@ -267,6 +267,29 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
     assert uncapped.count() >= 435
 
 
+def test_ngram_jaccard_construction_launches_no_job(spark):
+    """Building the capped Jaccard plan must be job-free (round-3 verdict #2).
+
+    The dropped-shingle count used to be an eager hot.count() at
+    plan-construction; it is now a DataFrame.observe metric collected by the
+    first action. Construction runs inside a dedicated job group, so any job
+    it launched would be attributed there.
+    """
+    sc = spark.sparkContext
+    rows = [(i, "common stop shingle plus unique%d tail%d" % (i, i)) for i in range(8)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    group = "ngram-construct-probe"
+    sc.setJobGroup(group, "construction must launch no jobs")
+    try:
+        q = ngram_jaccard_pairs(df, n=3, min_jaccard=0.0, max_shingle_df=3)
+    finally:
+        sc._jsc.clearJobGroup()
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    # and the plan still executes correctly afterwards
+    assert q.count() >= 1
+
+
 def test_ngram_jaccard_cap_matches_filtered_vocabulary_semantics(spark):
     """Capped Jaccard == exact Jaccard computed over the kept shingles only."""
     rows = [
