@@ -1208,7 +1208,13 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(k), 4) AS avg_k,
                    CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
             FROM (SELECT event_type,
-                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                         -- TRY_CAST + json_valid mirror from_json's
+                         -- null-on-bad-input semantics: malformed JSON or a
+                         -- non-integer k must diverge visibly (NULL vs value),
+                         -- never crash the oracle
+                         CASE WHEN json_valid(props)
+                              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         END AS k
                   FROM events)
             GROUP BY event_type ORDER BY event_type
         """,

@@ -35,14 +35,28 @@ def _as_seconds(col: Column, dt) -> Column:
     """Numeric seconds for gap/tolerance arithmetic, for any orderable type.
 
     TIMESTAMP_NTZ (what parquet timestamps load as) cannot cast to double
-    directly; routing it through TIMESTAMP interprets it in the session
-    timezone — safe here because every consumer uses only DIFFERENCES of
-    two such casts, so the timezone offset cancels.
+    directly, and routing it through TIMESTAMP would interpret the wall
+    clock in the session timezone — differences of two such casts are then
+    wrong by the offset change across a DST transition (an hour-long gap or
+    overlap) in any non-UTC session. Instead the wall clock is mapped to
+    seconds by pure field arithmetic (days-since-epoch × 86400 + time of
+    day, fractional seconds preserved by ``date_part('SECOND')``) — a
+    strictly monotone, timezone-independent mapping. DATE gets the same
+    day arithmetic (a bare double cast is rejected by Spark). TIMESTAMP
+    (LTZ) keeps the double cast: that is epoch seconds of the instant,
+    already timezone-independent.
     """
-    from pyspark.sql.types import TimestampNTZType
+    from pyspark.sql.types import DateType, TimestampNTZType
 
+    if isinstance(dt, DateType):
+        return F.unix_date(col).cast("double") * F.lit(86400.0)
     if isinstance(dt, TimestampNTZType):
-        col = col.cast("timestamp")
+        return (
+            F.unix_date(col.cast("date")).cast("double") * F.lit(86400.0)
+            + F.date_part(F.lit("HOUR"), col).cast("double") * F.lit(3600.0)
+            + F.date_part(F.lit("MINUTE"), col).cast("double") * F.lit(60.0)
+            + F.date_part(F.lit("SECOND"), col).cast("double")
+        )
     return col.cast("double")
 
 

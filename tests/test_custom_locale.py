@@ -85,7 +85,11 @@ rl.on('line', (line) => {
 
 
 def _run_reference(requests):
-    probe_dir = "/tmp/locale_probe"
+    # fresh dir per invocation: concurrent runs (or a stale stub from an
+    # older run at a fixed path) can neither race nor mask stub changes
+    import tempfile
+
+    probe_dir = tempfile.mkdtemp(prefix="locale_probe_")
     os.makedirs(probe_dir + "/node_modules/cog", exist_ok=True)
     with open(probe_dir + "/node_modules/cog/extend.js", "w") as f:
         f.write(_EXTEND_STUB)

@@ -101,7 +101,11 @@ def _gen(rng: random.Random, locale: str) -> str:
 
 
 def _run_reference(cases):
-    probe_dir = "/tmp/fuzz_probe"
+    # fresh dir per invocation: concurrent runs (or a stale stub from an
+    # older run at a fixed path) can neither race nor mask stub changes
+    import tempfile
+
+    probe_dir = tempfile.mkdtemp(prefix="fuzz_probe_")
     os.makedirs(probe_dir + "/node_modules/cog", exist_ok=True)
     with open(probe_dir + "/node_modules/cog/extend.js", "w") as f:
         f.write(_EXTEND_STUB)

@@ -324,3 +324,134 @@ def test_session_stats_single_shuffle(spark):
     )
     # the groupBy reuses the window's hashpartitioning(key) exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.fixture()
+def ny_timezone(spark):
+    """Temporarily run with a non-UTC session timezone spanning US DST."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield spark
+    spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_sessionize_ntz_across_dst_non_utc_session(ny_timezone):
+    """NTZ gap arithmetic must be timezone-independent (ADVICE round 3).
+
+    2026-03-08 02:00 America/New_York does not exist (spring-forward):
+    routing NTZ through a session-tz TIMESTAMP cast made the 01:30→03:30
+    wall-clock gap read as 3600s instead of 7200s, so a 5400s session gap
+    wrongly kept the two events in one session. The field-arithmetic
+    conversion sees the true wall-clock difference in any session timezone.
+    """
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        StringType,
+        TimestampNTZType,
+    )
+
+    spark = ny_timezone
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("id", LongType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            ("u", dt.datetime(2026, 3, 8, 1, 30), 0),
+            ("u", dt.datetime(2026, 3, 8, 3, 30), 1),
+        ],
+        schema,
+    )
+    got = {r.id: r.session_seq for r in sessionize(df, "key", "ts", 5400.0).collect()}
+    assert got == {0: 1, 1: 2}
+    # bucketed variant takes the same corrected arithmetic
+    got_b = {
+        r.id: r.session_seq
+        for r in sessionize(df, "key", "ts", 5400.0, bucket_s=3600.0).collect()
+    }
+    assert got_b == got
+
+
+def test_asof_tolerance_ntz_across_dst_non_utc_session(ny_timezone):
+    """Tolerance on NTZ timestamps must use wall-clock seconds across DST."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        StringType,
+        TimestampNTZType,
+    )
+
+    spark = ny_timezone
+    lschema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("lts", TimestampNTZType()),
+            StructField("lid", LongType()),
+        ]
+    )
+    rschema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("rts", TimestampNTZType()),
+            StructField("rid", LongType()),
+        ]
+    )
+    ldf = spark.createDataFrame(
+        [("k", dt.datetime(2026, 3, 8, 3, 30), 0)], lschema
+    )
+    rdf = spark.createDataFrame(
+        [("k", dt.datetime(2026, 3, 8, 1, 30), 100)], rschema
+    )
+    # true wall-clock distance is 7200s; the old session-tz cast read 3600s
+    # and wrongly kept the match under a 5400s tolerance
+    out = asof_join(
+        ldf, rdf, "key", "lts", "rts", tolerance_s=5400.0
+    ).collect()
+    assert out[0].rid is None
+    out = asof_join(
+        ldf, rdf, "key", "lts", "rts", tolerance_s=7200.0
+    ).collect()
+    assert out[0].rid == 100
+
+
+def test_asof_date_typed_right_with_tolerance_and_bucket(spark):
+    """DateType ts columns work with tolerance_s/bucket_s (ADVICE round 3).
+
+    A bare double cast on DATE is rejected by Spark, so tolerance/bucket
+    arithmetic on a date-typed side used to fail at analysis time.
+    """
+    import datetime as dt
+
+    ldf = spark.createDataFrame(
+        [("k", dt.datetime(2026, 1, 10, 12, 0), 0)],
+        "key string, lts timestamp_ntz, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [("k", dt.date(2026, 1, 8), 8), ("k", dt.date(2026, 1, 1), 1)],
+        "key string, rts date, rid long",
+    )
+    got = asof_join(
+        ldf, rdf, "key", "lts", "rts", tolerance_s=5 * 86400.0
+    ).collect()
+    assert got[0].rid == 8
+    # 2.5-day tolerance excludes the 2.5-day-distant Jan 8 00:00 match
+    got = asof_join(
+        ldf, rdf, "key", "lts", "rts", tolerance_s=2.0 * 86400.0
+    ).collect()
+    assert got[0].rid is None
+    # bucketed plan agrees with the plain one on date-typed right side
+    plain = asof_join(ldf, rdf, "key", "lts", "rts").collect()
+    bucketed = asof_join(
+        ldf, rdf, "key", "lts", "rts", bucket_s=86400.0
+    ).collect()
+    assert plain == bucketed
