@@ -61,6 +61,8 @@ class StageStore:
         instead of being pinned — when a snapshot dir is set it is still
         written, because snapshots are the resume contract.
         """
+        import time
+
         if self.base_dir is None:
             if not materialize:
                 df = fn()
@@ -69,8 +71,16 @@ class StageStore:
             # Pin with an eager localCheckpoint so downstream self-joins
             # (pair generation, CC) read materialized blocks instead of
             # re-running the parse/score subtree per branch.
+            t0 = time.monotonic()
             df = fn().localCheckpoint(eager=True)
-            self.lineage[stage] = {"resumed": False, "materialized": "localCheckpoint"}
+            self.lineage[stage] = {
+                "resumed": False,
+                "materialized": "localCheckpoint",
+                # eager checkpoint = the stage genuinely executed here, so
+                # this is real per-stage wall time (bench attribution reads
+                # it; fused materialize=False stages bill to their consumer)
+                "wall_sec": round(time.monotonic() - t0, 3),
+            }
             return df
 
         path = os.path.join(self.base_dir, stage)
@@ -96,12 +106,19 @@ class StageStore:
                 self.lineage[stage] = meta
                 return df
 
+        t0 = time.monotonic()
         df = fn()
         df.write.mode("overwrite").parquet(path)
+        wall = round(time.monotonic() - t0, 3)
         out = self.spark.read.parquet(path)
         meta = stage_metrics(out)
         meta.update(
-            {"stage": stage, "input_fingerprint": input_fingerprint, "resumed": False}
+            {
+                "stage": stage,
+                "input_fingerprint": input_fingerprint,
+                "resumed": False,
+                "wall_sec": wall,
+            }
         )
         with open(meta_path, "w") as fh:
             json.dump(meta, fh, indent=1, sort_keys=True)

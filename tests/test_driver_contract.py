@@ -120,6 +120,30 @@ def test_bench_headline_names_exist():
     assert set(bench.HEADLINE_QUERIES) & set(entry_mod.oracle_sql())
 
 
+def test_bench_comparable_set_is_frozen():
+    """The cross-round comparable total only works if its key set never
+    drifts: these are exactly the keys BENCH_r01.json timed. New queries
+    belong in HEADLINE_QUERIES, never here."""
+    import bench
+
+    assert bench.R1_COMPARABLE_SET == [
+        "pricing_summary", "top_customers", "regional_revenue",
+        "events_user_top", "events_hourly", "doc_token_stats", "doc_quality",
+        "exact_dup_prefix", "ngram_jaccard", "minhash_dups", "simhash_dups",
+        "embedding_topk", "embedding_dup_lsh", "er_corpus_materialize",
+        "er_parse_block", "er_score", "er_full_pipeline",
+    ]
+    # every comparable query must still be produced by the bench run:
+    # headline-timed, or one of the always-emitted ER stage timers
+    er_stages = {
+        "er_corpus_materialize", "er_parse_block", "er_sim_dims",
+        "er_score", "er_full_pipeline",
+    }
+    missing = set(bench.R1_COMPARABLE_SET) - set(bench.HEADLINE_QUERIES) - er_stages
+    assert not missing, missing
+    assert set(bench.BW_BOUND_QUERIES) <= er_stages
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = {r["metric"]: r["value"] for r in df.collect()}
