@@ -782,20 +782,104 @@ def q_simhash_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# ANN parameters shared by the rows-only top-k queries and the ann_recall
+# floor check. The synthetic embeddings are near-uniform random (top-10
+# neighbors at cos ≈ 0.2-0.5) — the adversarial case for hyperplane LSH, so
+# decent recall requires probing a large fraction at toy scale (~half the
+# table here); on clustered real embeddings the same margin-aware multi-probe
+# + multi-table machinery reaches high recall at small fractions. The floors
+# are regression contracts on deterministic data, not absolute quality claims.
+LSH_PARAMS = dict(k=10, bits=6, probes=10, tables=3)
+IVF_PARAMS = dict(k=10, n_centroids=16, nprobe=6)
+ANN_RECALL_FLOORS = {"ivf": 0.8, "lsh": 0.6}
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries_df, k=10, bits=8, probes=4).orderBy(
-        "query_id", "rank"
-    )
+    return lsh_topk(emb, queries_df, **LSH_PARAMS).orderBy("query_id", "rank")
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (rows-only: centroid refinement is engine-iterative)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries_df, k=10, n_centroids=16, nprobe=6).orderBy(
-        "query_id", "rank"
+    return ivf_topk(emb, queries_df, **IVF_PARAMS).orderBy("query_id", "rank")
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN quality: recall@k floors vs the exact twin.
+
+    For each approximate method, recall@10 is genuinely computed against
+    ``brute_force_topk`` (the oracle-green exact twin) on the same query
+    set, and the row carries ``passes_floor = recall ≥ floor``. The oracle
+    states the expected booleans literally, so a recall regression below
+    the floor surfaces as a value-hash mismatch in CORRECTNESS — not just
+    in unit tests. Floors per ``ANN_RECALL_FLOORS`` (see the comment there
+    for why LSH's floor is 0.6 on these near-uniform synthetic vectors).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.countDistinct("query_id").alias("n_queries"),
+    ).withColumn("_j", F.lit(1))
+    parts = []
+    for method, approx in (
+        ("ivf", ivf_topk(emb, queries_df, **IVF_PARAMS)),
+        ("lsh", lsh_topk(emb, queries_df, **LSH_PARAMS)),
+    ):
+        hits = approx.select("query_id", "neighbor_id").join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        )
+        parts.append(
+            hits.agg(F.count(F.lit(1)).alias("n_hits"))
+            # constant-key equi-join of two single-row aggregates (plans as
+            # a broadcast hash join, never a cartesian product)
+            .withColumn("_j", F.lit(1))
+            .join(totals, "_j")
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(10).alias("k"),
+                F.col("n_queries"),
+                (
+                    F.col("n_hits") / F.col("n_exact")
+                    >= F.lit(ANN_RECALL_FLOORS[method])
+                ).alias("passes_floor"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")
+
+
+def q_minhash_engine_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-hash minhash ≡ portable-md5 minhash, as a driver value check.
+
+    Both banded MinHash variants (xxhash64 signatures at k=64/b=16 vs the
+    DuckDB-replayable md5 twin at k=16/b=4) must surface the same
+    duplicate-pair set on the deterministic corpus — each verifies its
+    banding candidates against the estimate threshold independently, so
+    set equality is the cross-engine consistency contract. The query emits
+    the symmetric difference tagged by side; the oracle expects it EMPTY,
+    so any drift between the twins turns the driver row red.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    a = minhash_dup_pairs(docs, k=64, bands=16, n=3, min_est_jaccard=0.4).select(
+        "id_a", "id_b"
+    )
+    b = minhash_dup_pairs(
+        docs, k=16, bands=4, n=3, min_est_jaccard=0.5, portable=True
+    ).select("id_a", "id_b")
+    return (
+        a.subtract(b)
+        .withColumn("only_in", F.lit("engine"))
+        .unionByName(b.subtract(a).withColumn("only_in", F.lit("portable")))
+        .orderBy("only_in", "id_a", "id_b")
     )
 
 
@@ -837,7 +921,7 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = synth_corpus(spark, min(_entities_for(sf_dir), 500), seed=42)
     spans = normalize_documents(documents_view(corpus))
-    feats = decode_and_featurize(spans, stub=True)
+    feats = decode_and_featurize(spans)
     return feats.select(
         "doc_id",
         "pos",
@@ -852,7 +936,9 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = synth_corpus(spark, min(_entities_for(sf_dir), 500), seed=42)
     spans = normalize_documents(documents_view(corpus))
     return (
-        frame_sample_plan(spans, every_ms=10_000)
+        # videos are short clips (parsed y4m duration ≤ ~1.2s) — sample at
+        # 100ms so the work list genuinely fans out per span
+        frame_sample_plan(spans, every_ms=100)
         .groupBy("doc_id", "pos")
         .agg(F.count(F.lit(1)).alias("n_frames"))
         .orderBy("doc_id", "pos")
@@ -905,6 +991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity (SQL oracles)
         "embedding_topk": q_embedding_topk,
         "embedding_dup_exact": q_embedding_dup_exact,
+        # ANN/dedup quality contracts (SQL oracles state the expected
+        # outcome; the Spark side genuinely computes recall / set parity)
+        "ann_recall": q_ann_recall,
+        "minhash_engine_parity": q_minhash_engine_parity,
         # rows-only: pandas-UDF kernels / engine-hash LSH / iterative CC
         "parse_udf_fields": q_parse_udf_fields,
         "er_cluster_sizes": q_er_cluster_sizes,
@@ -1526,5 +1616,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99
             ORDER BY id_a, id_b
+        """,
+        # quality-contract oracles: the SQL states the EXPECTED outcome (the
+        # floors hold / the twin pair sets are identical); the Spark side
+        # genuinely computes recall / the symmetric difference, so a
+        # regression flips a value and the driver's hash check goes red
+        "ann_recall": """
+            SELECT method, 10 AS k,
+                   (SELECT count(*) FROM embeddings WHERE vec_id < 5) AS n_queries,
+                   true AS passes_floor
+            FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh')
+            ORDER BY method
+        """,
+        "minhash_engine_parity": """
+            SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+                   CAST(NULL AS VARCHAR) AS only_in
+            WHERE 1 = 0
         """,
     }

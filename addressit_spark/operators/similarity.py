@@ -25,6 +25,32 @@ from pyspark.sql import functions as F
 from addressit_spark.util import ensure_parallelism, reuse
 
 
+# The broadcast-query operators (brute_force_topk, lsh_topk) are documented
+# for the small-|Q| regime; past this bound a caller gets a clear error
+# pointing at the scale path instead of a driver OOM from the broadcast.
+DEFAULT_MAX_QUERY_ROWS = 100_000
+
+
+def _check_query_bound(queries: DataFrame, max_query_rows, op: str) -> None:
+    """Fail fast when the broadcast query side exceeds its contract.
+
+    Cost: one CollectLimit job bounded at ``max_query_rows + 1`` rows —
+    negligible next to the broadcast it guards. ``None`` disables (caller
+    explicitly accepts the driver-memory risk).
+    """
+    if max_query_rows is None:
+        return
+    n = queries.limit(max_query_rows + 1).count()
+    if n > max_query_rows:
+        raise ValueError(
+            f"{op}: query side exceeds {max_query_rows} rows; this operator "
+            "BROADCASTS the queries and is only for small query sets. For "
+            "large |queries| use ivf_topk (probes inverted lists, no query "
+            "broadcast), or pass max_query_rows=None/higher to accept the "
+            "driver-memory cost explicitly."
+        )
+
+
 def _norm_col(vec: Column) -> Column:
     return F.sqrt(
         F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
@@ -49,12 +75,15 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: Optional[int] = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
 
-    ``queries`` must be small (it is broadcast). Self-matches excluded.
-    Deterministic tie-break on neighbor id.
+    ``queries`` must be small (it is broadcast); ``max_query_rows`` enforces
+    that contract with a clear error instead of a driver OOM. Self-matches
+    excluded. Deterministic tie-break on neighbor id.
     """
+    _check_query_bound(queries, max_query_rows, "brute_force_topk")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -98,18 +127,71 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> List[List[float]]:
     return [[float(x) for x in row] for row in g]
 
 
-def lsh_signature_col(vec: Column, planes: List[List[float]]) -> Column:
-    """Pack sign(vec·plane_i) into a long bucket id — pure column exprs."""
-    bits = [
-        F.when(
-            _dot_col(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit(1)
-        ).otherwise(F.lit(0))
-        for plane in planes
-    ]
+def _plane_dots_col(vec: Column, planes: List[List[float]]) -> Column:
+    """array<double> of vec·plane_i — shared by signature and probe margins."""
+    return F.array(
+        *[_dot_col(vec, F.array(*[F.lit(p) for p in plane])) for plane in planes]
+    )
+
+
+def _sig_from_dots(dots: Column, bits: int) -> Column:
+    """Pack sign(dot_i) into a long bucket id (plane i → bit bits-1-i)."""
     sig = F.lit(0).cast("long")
-    for b in bits:
+    for i in range(bits):
+        b = F.when(F.element_at(dots, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
         sig = sig * 2 + b
     return sig
+
+
+def lsh_signature_col(vec: Column, planes: List[List[float]]) -> Column:
+    """Pack sign(vec·plane_i) into a long bucket id — pure column exprs."""
+    return _sig_from_dots(_plane_dots_col(vec, planes), len(planes))
+
+
+def _probe_buckets_col(dots: Column, bits: int, probes: int) -> Column:
+    """Margin-aware multi-probe bucket list (Lv et al., multi-probe LSH).
+
+    The buckets most likely to hold a query's true neighbors are the ones
+    reached by flipping the hyperplane bits with the SMALLEST |vec·plane|
+    margin — a near-zero dot means the neighbor plausibly falls on the other
+    side. Variants are ordered by perturbation likelihood: the query's own
+    bucket, then single flips of the smallest-margin planes, then the
+    two-smallest-margins pair combined with each next margin. All pure
+    column expressions evaluated on the (small) query side only.
+    """
+    order = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dots,
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("i")),
+            )
+        ),
+        lambda s: s.getField("i"),
+    )
+
+    def bitmask(idx: Column) -> Column:
+        # shiftleft() needs a literal shift count, so the plane-index →
+        # bit-mask map is a CASE over the (≤ bits) possible indices
+        expr = F.when(idx == 0, F.lit(1 << (bits - 1)).cast("long"))
+        for i in range(1, bits):
+            expr = expr.when(idx == i, F.lit(1 << (bits - 1 - i)).cast("long"))
+        return expr.otherwise(F.lit(0).cast("long"))
+
+    sig = _sig_from_dots(dots, bits)
+    variants = [sig]
+    n_single = min(probes - 1, bits)
+    for j in range(n_single):
+        variants.append(sig.bitwiseXOR(bitmask(F.element_at(order, j + 1))))
+    # deeper perturbations: pair the smallest margin with each next one
+    n_pairs = min(max(probes - 1 - n_single, 0), bits - 1)
+    for j in range(1, n_pairs + 1):
+        variants.append(
+            sig.bitwiseXOR(bitmask(F.element_at(order, 1))).bitwiseXOR(
+                bitmask(F.element_at(order, j + 1))
+            )
+        )
+    return F.array_distinct(F.array(*variants))
 
 
 def lsh_topk(
@@ -122,45 +204,79 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probes: int = 1,
+    tables: int = 1,
+    max_query_rows: Optional[int] = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane bucketing.
 
-    With ``probes > 1`` each query additionally probes the buckets at
-    Hamming distance 1 from its own signature (multi-probe LSH), trading
-    compute for recall without more tables.
+    With ``probes > 1`` each query additionally probes the buckets its true
+    neighbors are most likely to have landed in — the ones reached by
+    flipping the hyperplanes with the smallest |vec·plane| margin
+    (margin-aware multi-probe LSH), trading compute for recall without more
+    tables. ``tables > 1`` unions candidates from independent hyperplane
+    sets (classic L-table LSH): recall compounds as 1-(1-r)^L while the
+    scanned fraction grows only linearly. Candidate fraction ≈
+    tables × probes / 2^bits of the base table. The query side is broadcast
+    (small-|Q| regime, enforced by ``max_query_rows``); for large query
+    sets use :func:`ivf_topk`.
     """
+    _check_query_bound(queries, max_query_rows, "lsh_topk")
     if dim is None:
         first = embeddings.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
-    planes = _hyperplanes(dim, bits, seed)
+    all_planes = [_hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
 
+    # base side: one (table, bucket) row per vector per table — a single
+    # widened scan, exploded JVM-side; the join key is (t, bucket)
     base = ensure_parallelism(embeddings.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
-        lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
-    )
-    qsig = queries.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_signature_col(F.col(vec_col), all_planes[t]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("neighbor_id", "nvec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    # query side: margin-aware probe buckets per table (tiny — broadcast).
+    # NOTE the factory: a two-parameter lambda passed to F.transform is
+    # called as (element, INDEX) — a default-arg closure over `t` would be
+    # silently rebound to the array index.
+    def _tag_table(tt: int):
+        return lambda b: F.struct(F.lit(tt).alias("t"), b.alias("bucket"))
+
+    qprobe = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
-    )
-    if probes <= 1:
-        qprobe = qsig.select("query_id", "qvec", F.col("sig").alias("bucket"))
-    else:
-        flips = min(probes - 1, bits)
-        variants = F.array(
-            F.col("sig"),
-            *[
-                F.col("sig").bitwiseXOR(F.lit(1 << i))
-                for i in range(flips)
-            ],
-        )
-        qprobe = qsig.select(
-            "query_id", "qvec", F.explode(variants).alias("bucket")
-        )
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.transform(
+                            _probe_buckets_col(
+                                _plane_dots_col(F.col(vec_col), all_planes[t]),
+                                bits,
+                                probes,
+                            ),
+                            _tag_table(t),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            )
+        ).alias("tb"),
+    ).select("query_id", "qvec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
 
     scored = (
-        base.join(F.broadcast(qprobe), "bucket")
+        base.join(F.broadcast(qprobe), ["t", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -273,8 +389,11 @@ def ivf_topk(
     probes = _centroid_assign(queries, cent, id_col, vec_col, top=nprobe).select(
         F.col("vid").alias("query_id"), F.col("vec").alias("qvec"), "cid"
     )
+    # no broadcast hint on the probe side: ivf_topk is the large-|Q| path,
+    # and a forced broadcast of 10^8 probe rows would OOM the driver. AQE
+    # still broadcasts a genuinely small probe table at runtime.
     scored = (
-        lists.join(F.broadcast(probes), "cid")
+        lists.join(probes, "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
