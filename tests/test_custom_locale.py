@@ -190,3 +190,118 @@ def test_parse_udf_accepts_locale_and_opts_dict(spark):
     assert r1["state"] == "NSW" and r1["postalcode"] == "2000"
     r2 = rows["17 Flinders Lane Melbourne VIC 3000"]
     assert r2["state"] == "VIC" and r2["postalcode"] == "3000"
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz over RANDOM overlays (round-4: locks the cog/extend
+# closure against drift — every case runs the executed JS reference with the
+# identical opts and must match field-for-field)
+# ---------------------------------------------------------------------------
+
+_STATE_POOL = [
+    ("NSW", r"(^new\ssouth\swales|^NSW$)"),
+    ("VIC", r"(^victoria|^VIC$)"),
+    ("QLD", r"(^queensland|^QLD$)"),
+    ("WA", r"(^western\saustralia|^WA$)"),
+    ("SA", r"(^south\saustralia|^S\.?A\.?$)"),
+    ("TX", r"(^texas|^TX$)"),
+    ("CA", r"(^california|^C\.?A\.?$)"),
+    ("ND", r"(^north\sdakota|^N\.?D\.?$)"),
+]
+
+_COUNTRY_POOL = [
+    {"CAN": r"(^CANADA|^C\.?A\.?N?$)"},
+    {"NZL": r"(^NEW\sZEALAND|^N\.?Z\.?$)"},
+    {"USA": r"(^USA$|^UNITED\sSTATES)"},
+]
+
+_POSTCODE_POOL = [r"(^\d{4}$)", r"(^\d{5}$)", r"(^\d{5}-\d{4}$|^\d{5}$)"]
+
+_FUZZ_STREETS = ["Main", "Beach", "George", "Flinders", "Smith", "St Kilda",
+                 "Queensland", "Dakota", "Short"]
+_FUZZ_TYPES = ["St", "Street", "Rd", "Road", "Ave", "Lane", "Blvd", "Terrace"]
+_FUZZ_TAILS = [
+    "Sydney New South Wales 2000", "Perth Western Australia 6000",
+    "Brisbane QLD 4000", "Melbourne VIC 3000", "Springfield 90210",
+    "Austin Texas 73301", "Fargo North Dakota 58102", "Toronto Canada",
+    "Wellington New Zealand", "Cairns 4870", "SA 5000", "NSW", "CA",
+    "victoria", "N.D. 58102", "90210-1234", "", "USA", "C.A.N",
+]
+
+
+def _gen_overlay(rng):
+    """Random make_locale kwargs + the matching probe request fields."""
+    kwargs, req = {}, {}
+    base = rng.choice(["en-US", "en-AU"])
+    roll = rng.random()
+    if roll < 0.15:
+        kwargs["state"] = None
+        req["state"] = None
+    elif roll < 0.75:
+        picks = rng.sample(_STATE_POOL, rng.randrange(1, 5))
+        kwargs["state"] = dict(picks)
+        req["state"] = dict(picks)
+    roll = rng.random()
+    if roll < 0.15:
+        kwargs["postalcode"] = None
+        req["postalcode"] = None
+    elif roll < 0.6:
+        src = rng.choice(_POSTCODE_POOL)
+        kwargs["postalcode"] = src
+        req["postalcode"] = src
+    roll = rng.random()
+    if roll < 0.1:
+        kwargs["country"] = None
+        req["country"] = None
+    elif roll < 0.5:
+        c = rng.choice(_COUNTRY_POOL)
+        kwargs["country"] = dict(c)
+        req["country"] = dict(c)
+    return base, kwargs, req
+
+
+def _gen_input(rng):
+    parts = []
+    if rng.random() < 0.3:
+        parts.append(rng.choice(["Shop 4,", "Unit 7", "Flat 2", "#12", "5/60"]))
+    if rng.random() < 0.8:
+        parts.append(str(rng.randrange(1, 500)))
+    parts.append(rng.choice(_FUZZ_STREETS))
+    if rng.random() < 0.85:
+        parts.append(rng.choice(_FUZZ_TYPES))
+    tail = rng.choice(_FUZZ_TAILS)
+    if tail:
+        parts.append(tail)
+    s = " ".join(parts)
+    if rng.random() < 0.1:
+        s = s.lower()
+    elif rng.random() < 0.1:
+        s = s.upper()
+    if rng.random() < 0.1:
+        s = s + ","
+    return s or "X"
+
+
+@pytest.mark.skipif(NODE is None, reason="node not installed")
+def test_fuzz_random_overlays_match_executed_reference():
+    """500 random (overlay, input) pairs: custom state maps, falsy disables,
+    country overrides, custom postcodes — kernel output must equal the
+    executed reference given the byte-identical opts."""
+    import random
+
+    rng = random.Random(40413)
+    cases = []
+    for _ in range(500):
+        base, kwargs, req = _gen_overlay(rng)
+        text = _gen_input(rng)
+        cases.append((base, kwargs, dict(req, base=base, input=text), text))
+    want = _run_reference([c[2] for c in cases])
+    mismatches = []
+    for (base, kwargs, _req, text), w in zip(cases, want):
+        loc = make_locale(base, **kwargs)
+        got = _norm(parse(text, loc))
+        if got != _norm(w):
+            mismatches.append((base, kwargs, text, got, _norm(w)))
+    assert not mismatches, (
+        f"{len(mismatches)} divergences; first: {mismatches[0]}"
+    )
