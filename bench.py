@@ -36,7 +36,10 @@ MASTER = os.environ.get("SPARK_GRAFT_MASTER", "")
 ER_ENTITIES = int(os.environ.get("SPARK_GRAFT_ER_ENTITIES", "0"))  # 0 → per-sf default
 ONLY_ER = os.environ.get("SPARK_GRAFT_BENCH_ONLY_ER", "") == "1"  # scaling mode
 SKIP_FULL = os.environ.get("SPARK_GRAFT_SKIP_FULL", "") == "1"  # scaling mode
-QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))  # best-of-N
+# best-of-N; default raised to 3 in round 4 — interleaved A/B runs this round
+# measured the SAME query swinging 2.3s → 12.9s between adjacent runs on
+# UNCHANGED code, so 2 samples still confuse a stall with a regression
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3"))
 # The ER checkpoint stages materialize multi-GB localCheckpoints, which is
 # exactly the surface the host's episodic bandwidth stalls land on (round 3:
 # one stage reported 17.7s whose isolated cost was 5.6s, with a 4-9x spread
