@@ -843,6 +843,18 @@ factor cannot explain a stall; **`er_full_pipeline_stages`** — per-stage
 wall seconds inside the flagship pipeline from StageStore lineage, so a
 flagship regression is attributable to a stage.
 
+**Round-3 addendum — episodic stalls, not just slow windows.** On the
+round-3 VM the interference is spikier than round 2's minutes-long slow
+windows: multi-second full stalls land on whichever stage happens to be
+running, inflating that one stage 10-50× while the rest of the same run is
+at full speed (observed: `er_parse_block` 163.5 s in one default-mode run
+vs 1.7 s for the identical plan isolated minutes later; the next full run
+moved the anomaly to `embedding_dup_lsh`; a live STREAM probe during one
+episode read **5.4 GB/s** at 8 procs vs the 69.8 reference — 8% of
+reference bandwidth). Point-in-time calibration probes cannot capture an
+episode that hits mid-run, which is why the trial arrays above are the
+primary evidence and any single number is read against them.
+
 Raw JSON (best runs):
 
 ```json
