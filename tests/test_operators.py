@@ -575,3 +575,39 @@ def test_tfidf_top_terms_hand_computed(spark):
         ("d3", 1): ("apple", round(1 * idf_common, 6)),
     }
     assert got == want
+
+
+def test_lsh_signature_fast_path_bit_parity(spark):
+    """The O(bits) table-side signature ≡ the query-side array form.
+
+    lsh_signature_col was rewritten to build bits directly from per-plane
+    dots (the _plane_dots_col + _sig_from_dots route re-evaluates the array
+    per element_at — O(bits²·dim) per row); both forms must pack the same
+    sign bits in the same order or table and probe buckets silently stop
+    meeting. Random vectors include near-zero dots (sign-boundary cases).
+    """
+    import numpy as np
+
+    from addressit_spark.operators.similarity import (
+        _hyperplanes,
+        _plane_dots_col,
+        _sig_from_dots,
+        lsh_signature_col,
+    )
+
+    dim, bits = 16, 12
+    planes = _hyperplanes(dim, bits, seed=7)
+    rng = np.random.default_rng(123)
+    vecs = rng.standard_normal((64, dim))
+    # a few vectors exactly ON a plane boundary (dot == 0 → sign bit 1)
+    vecs[0] = np.zeros(dim)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = df.select(
+        "id",
+        lsh_signature_col(F.col("vec"), planes).alias("fast"),
+        _sig_from_dots(_plane_dots_col(F.col("vec"), planes), bits).alias("ref"),
+    ).collect()
+    assert all(r["fast"] == r["ref"] for r in got), [
+        (r["id"], r["fast"], r["ref"]) for r in got if r["fast"] != r["ref"]
+    ][:5]
