@@ -843,6 +843,15 @@ factor cannot explain a stall; **`er_full_pipeline_stages`** — per-stage
 wall seconds inside the flagship pipeline from StageStore lineage, so a
 flagship regression is attributable to a stage.
 
+**Same-JVM bias on the ER stages.** In default mode the ER stages run in
+the same SparkSession after the headline queries; accumulated JVM state
+(old-gen occupancy, shuffle files) can read them ~2× higher than their
+isolated cost (measured round 4: `er_score` 5.06s in-session vs 2.65s
+tight-array in `SPARK_GRAFT_BENCH_ONLY_ER=1` mode minutes apart). The
+in-session number is kept for cross-round comparability (r1-r3 measured
+the same way); compare like against like, and use ER-only mode for the
+stages' true cost.
+
 **Round-3 addendum — episodic stalls, not just slow windows.** On the
 round-3 VM the interference is spikier than round 2's minutes-long slow
 windows: multi-second full stalls land on whichever stage happens to be
