@@ -310,7 +310,41 @@ def run_bench() -> dict:
     }
     out["bw_bound_queries"] = [q for q in BW_BOUND_QUERIES if q in timings]
     out["normalized_total_sec"] = round(total * factor, 3)
+    if not ONLY_ER:
+        out["er_isolated"] = _er_isolated_probe()
     return out
+
+
+def _er_isolated_probe() -> dict | None:
+    """Re-measure the ER stages in a FRESH session (subprocess).
+
+    In default mode the ER stages run after the headline queries in the same
+    JVM; accumulated state (old-gen occupancy, shuffle files) can read them
+    ~2× above their isolated cost (round 4: er_score 5.06s in-session vs
+    2.65s isolated, minutes apart). Attaching the isolated numbers makes the
+    bias self-quantifying per round. Timeout-guarded and best-effort: a
+    failure attaches None, never breaks the primary JSON line.
+    """
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_ONLY_ER="1",
+        SPARK_GRAFT_SKIP_FULL="1",
+        PYTHONPATH=REPO,
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
+            timeout=int(os.environ.get("SPARK_GRAFT_ER_ISOLATED_TIMEOUT", "420")),
+        )
+        iso = json.loads(proc.stdout.strip().splitlines()[-1])
+        return {
+            "queries": iso["queries"],
+            "queries_trials": iso["queries_trials"],
+            "er_pairs_per_sec": iso.get("er_pairs_per_sec"),
+        }
+    except Exception:
+        return None
 
 
 # Reference host speeds: median-of-3 pinned probes recorded in round 2
@@ -849,8 +883,9 @@ the same SparkSession after the headline queries; accumulated JVM state
 isolated cost (measured round 4: `er_score` 5.06s in-session vs 2.65s
 tight-array in `SPARK_GRAFT_BENCH_ONLY_ER=1` mode minutes apart). The
 in-session number is kept for cross-round comparability (r1-r3 measured
-the same way); compare like against like, and use ER-only mode for the
-stages' true cost.
+the same way); from round 4 the default-mode JSON also attaches
+**`er_isolated`** — the same stages re-measured in a fresh subprocess
+session — so the bias is self-quantifying per round.
 
 **Round-3 addendum — episodic stalls, not just slow windows.** On the
 round-3 VM the interference is spikier than round 2's minutes-long slow

@@ -149,3 +149,13 @@ def test_entry_smoke(spark):
     rows = {r["metric"]: r["value"] for r in df.collect()}
     assert rows["sf0001_documents_rows"] > 0
     assert rows["er_pairwise_f1"] >= 0.99
+
+
+def test_er_isolated_probe_failure_is_contained(monkeypatch):
+    """The isolated-ER subprocess is best-effort: any failure (here a forced
+    0s timeout) must yield None, never an exception that would break the
+    driver's one-line bench JSON."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_ER_ISOLATED_TIMEOUT", "0")
+    assert bench._er_isolated_probe() is None
