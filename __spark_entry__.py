@@ -35,6 +35,7 @@ from addressit_spark.operators.dedup import (
 from addressit_spark.operators.multimodal import (
     decode_and_featurize,
     frame_sample_plan,
+    resize_images,
     with_media_meta,
 )
 from addressit_spark.operators.sample import (
@@ -904,6 +905,27 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail stage (rows-only: payload bytes are engine-produced).
+
+    Resizes every image raster to 16x12 via nearest-neighbor resampling and
+    aggregates by source dimensions; out_bytes is the length of the
+    re-encoded P6 container (13-byte header + 16*12*3 raster = 589 for every
+    row), so a codec regression shows up as a value change, not just a count.
+    """
+    corpus = synth_corpus(spark, min(_entities_for(sf_dir), 500), seed=42)
+    spans = normalize_documents(documents_view(corpus))
+    return (
+        resize_images(spans, target_w=16, target_h=12)
+        .groupBy("src_width", "src_height", "width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.max(F.length("payload")).alias("out_bytes"),
+        )
+        .orderBy("src_width", "src_height")
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = synth_corpus(spark, _entities_for(sf_dir), seed=42)
     spans = normalize_documents(documents_view(corpus))
@@ -1007,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "media_meta": q_media_meta,
+        "media_resize": q_media_resize,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
     }

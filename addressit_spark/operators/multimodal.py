@@ -326,6 +326,87 @@ def decode_and_featurize(spans: DataFrame) -> DataFrame:
     return payloads.mapInPandas(kernel, schema=MEDIA_FEATURE_SCHEMA)
 
 
+RESIZED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("pos", IntegerType()),
+        StructField("media_ref", StringType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_ppm(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resample of a binary-PPM raster → a valid P6.
+
+    Pixel-center mapping (``src = floor((i + 0.5) * src_dim / dst_dim)``),
+    the standard nearest-neighbor convention, so down- and up-scales are both
+    deterministic and alignment-stable. Pure numpy fancy-indexing — no
+    Python per-pixel loop. Unrecognized magics raise (same codec contract as
+    ``decode_media``).
+    """
+    if payload[:2] != b"P6":
+        raise NotImplementedError(
+            "resize_ppm: not a binary-PPM payload: %r" % payload[:8]
+        )
+    w, h, _ = parse_media_header(payload)
+    raster = decode_media(payload).reshape(h, w, 3)
+    rows = np.minimum(
+        ((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64), h - 1
+    )
+    cols = np.minimum(
+        ((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64), w - 1
+    )
+    out = raster[rows[:, None], cols[None, :], :]
+    return b"P6\n%d %d\n255\n" % (target_w, target_h) + out.tobytes()
+
+
+def resize_images(spans: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize every image span's raster to (target_w, target_h).
+
+    The training-pipeline thumbnail stage: image payloads are fetched,
+    decoded, resampled, and re-encoded as valid P6 containers whose headers
+    downstream stages re-parse — the output column is bytes a real pipeline
+    would write back to the object store. Plan-side filter on the span kind
+    prunes non-images before any payload is fetched; the kernel is
+    Arrow-batched ``mapInPandas`` with vectorized numpy resampling.
+    """
+    payloads = media_payload_table(spans.where(F.col("kind") == "image"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src_dims = [parse_media_header(p)[:2] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pos": pdf["pos"],
+                    "media_ref": pdf["media_ref"],
+                    "src_width": pd.array(
+                        [d[0] for d in src_dims], dtype="Int32"
+                    ),
+                    "src_height": pd.array(
+                        [d[1] for d in src_dims], dtype="Int32"
+                    ),
+                    "width": pd.array(
+                        [target_w] * len(pdf), dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [target_h] * len(pdf), dtype="Int32"
+                    ),
+                    "payload": [
+                        resize_ppm(bytes(p), target_w, target_h)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return payloads.mapInPandas(kernel, schema=RESIZED_IMAGE_SCHEMA)
+
+
 def frame_sample_plan(spans: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Expand video spans into a frame-sampling work list (timestamps).
 

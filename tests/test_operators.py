@@ -611,3 +611,69 @@ def test_lsh_signature_fast_path_bit_parity(spark):
     assert all(r["fast"] == r["ref"] for r in got), [
         (r["id"], r["fast"], r["ref"]) for r in got if r["fast"] != r["ref"]
     ][:5]
+
+
+def test_resize_ppm_golden():
+    """Nearest-neighbor semantics pinned by hand: pixel-center mapping
+    src = floor((i + 0.5) * src/dst), exact 2x down- and up-scales."""
+    import numpy as np
+
+    from addressit_spark.operators.multimodal import (
+        decode_media,
+        parse_media_header,
+        resize_ppm,
+    )
+
+    # 4x4 raster whose pixel (y, x) encodes its own coordinates
+    src = np.zeros((4, 4, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(4):
+            src[y, x] = (y, x, 10 * y + x)
+    ppm = b"P6\n4 4\n255\n" + src.tobytes()
+
+    # 2x downscale: dst (i, j) ← src (2i+1, 2j+1)
+    down = resize_ppm(ppm, 2, 2)
+    assert parse_media_header(down) == (2, 2, None)
+    got = decode_media(down).reshape(2, 2, 3)
+    for i in range(2):
+        for j in range(2):
+            assert got[i, j].tolist() == src[2 * i + 1, 2 * j + 1].tolist()
+
+    # 2x upscale: dst (i, j) ← src (i // 2, j // 2)
+    up = resize_ppm(ppm, 8, 8)
+    got_up = decode_media(up).reshape(8, 8, 3)
+    for i in range(8):
+        for j in range(8):
+            assert got_up[i, j].tolist() == src[i // 2, j // 2].tolist()
+
+    # non-PPM payloads refuse (same codec contract as decode_media)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        resize_ppm(b"\xff\xd8\xff\xe0" + b"\x00" * 16, 2, 2)
+
+
+def test_resize_images_spark_roundtrip(spark):
+    """Spark thumbnail stage: every output payload is a valid P6 whose
+    re-parsed header equals the target dims, raster bytes match the
+    kernel-side resize of the same source payload."""
+    from addressit_spark.operators.multimodal import (
+        parse_media_header,
+        resize_images,
+        synth_media_payload,
+    )
+    from addressit_spark.parse_stage import normalize_documents
+    from addressit_spark.sources.corpus import documents_view, synth_corpus
+
+    corpus = synth_corpus(spark, 60, seed=42)
+    spans = normalize_documents(documents_view(corpus))
+    out = resize_images(spans, target_w=16, target_h=12).collect()
+    assert len(out) > 0
+    for r in out:
+        payload = bytes(r["payload"])
+        assert parse_media_header(payload) == (16, 12, None)
+        src = synth_media_payload(r["media_ref"], "image")
+        assert (r["src_width"], r["src_height"]) == parse_media_header(src)[:2]
+        from addressit_spark.operators.multimodal import resize_ppm
+
+        assert payload == resize_ppm(src, 16, 12)
