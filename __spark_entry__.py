@@ -34,6 +34,7 @@ from addressit_spark.operators.dedup import (
 )
 from addressit_spark.operators.multimodal import (
     decode_and_featurize,
+    extract_frames,
     frame_sample_plan,
     resize_images,
     with_media_meta,
@@ -926,6 +927,26 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real frame extraction (rows-only: frames are engine-decoded bytes).
+
+    Decodes the sampled YUV frames of every video span and aggregates per
+    clip geometry; luma_sum makes the decoded pixel values part of the
+    driver-visible result, so a codec regression changes a value.
+    """
+    corpus = synth_corpus(spark, min(_entities_for(sf_dir), 500), seed=42)
+    spans = normalize_documents(documents_view(corpus))
+    return (
+        extract_frames(spans, every_ms=100)
+        .groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(F.sum("luma_mean"), 2).alias("luma_sum"),
+        )
+        .orderBy("width", "height")
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = synth_corpus(spark, _entities_for(sf_dir), seed=42)
     spans = normalize_documents(documents_view(corpus))
@@ -1030,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "media_meta": q_media_meta,
         "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
     }

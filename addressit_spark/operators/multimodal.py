@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -405,6 +406,96 @@ def resize_images(spans: DataFrame, target_w: int, target_h: int) -> DataFrame:
             )
 
     return payloads.mapInPandas(kernel, schema=RESIZED_IMAGE_SCHEMA)
+
+
+EXTRACTED_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("pos", IntegerType()),
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("luma_mean", DoubleType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_y4m_frames(payload: bytes, every_ms: int) -> list:
+    """Split a Y4M payload into sampled frames (the per-payload codec step).
+
+    Same sampling semantics as :func:`frame_sample_plan` (timestamps
+    ``0..duration_ms`` step ``every_ms``; frame index ``ts*fps/1000``
+    floored, clamped to the container's frame count). Returns
+    ``[(frame_idx, ts_ms, width, height, luma_mean, frame_bytes), ...]``;
+    unrecognized magics raise (codec contract).
+    """
+    if payload[:9] != b"YUV4MPEG2":
+        raise NotImplementedError(
+            "sample_y4m_frames: no codec for magic %r" % payload[:8]
+        )
+    header, _, body = payload.partition(b"\n")
+    w = h = None
+    num, den = 25, 1
+    for param in header.split()[1:]:
+        tag, val = param[:1], param[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = (int(x) for x in val.split(b":"))
+    frames = body.split(b"FRAME\n")[1:]
+    duration_ms = len(frames) * 1000 * den // num
+    luma = w * h  # planar 4:2:0: Y plane first
+    out = []
+    for ts in range(0, duration_ms + 1, every_ms):
+        idx = min(ts * num // (1000 * den), len(frames) - 1)
+        fb = frames[idx]
+        y = np.frombuffer(fb[:luma], dtype=np.uint8)
+        out.append((idx, ts, w, h, float(y.mean()), fb))
+    return out
+
+
+def extract_frames(spans: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Decode the sampled frames of every video span (the real extractor).
+
+    The sampling/decode semantics live in :func:`sample_y4m_frames`; this
+    operator runs them distributed: each video payload crosses the Arrow
+    boundary once, and one row per sampled timestamp is emitted carrying the
+    raw planar-YUV frame bytes plus the luma-plane mean — the shape a
+    training pipeline writes back to the store. Expanding inside the kernel
+    (not a join against the plan-side work list) means the multi-KB payload
+    is never duplicated per frame in a shuffle.
+    """
+    payloads = media_payload_table(spans.where(F.col("kind") == "video"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "pos", "media_ref", "frame_idx", "ts_ms",
+                "width", "height", "luma_mean", "frame",
+            )}
+            for doc_id, pos, ref, payload in zip(
+                pdf["doc_id"], pdf["pos"], pdf["media_ref"], pdf["payload"]
+            ):
+                for idx, ts, w, h, luma, fb in sample_y4m_frames(
+                    bytes(payload), every_ms
+                ):
+                    rows["doc_id"].append(doc_id)
+                    rows["pos"].append(pos)
+                    rows["media_ref"].append(ref)
+                    rows["frame_idx"].append(idx)
+                    rows["ts_ms"].append(ts)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["luma_mean"].append(luma)
+                    rows["frame"].append(fb)
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(kernel, schema=EXTRACTED_FRAME_SCHEMA)
 
 
 def frame_sample_plan(spans: DataFrame, every_ms: int = 1000) -> DataFrame:

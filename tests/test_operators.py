@@ -677,3 +677,49 @@ def test_resize_images_spark_roundtrip(spark):
         from addressit_spark.operators.multimodal import resize_ppm
 
         assert payload == resize_ppm(src, 16, 12)
+
+
+def test_extract_frames_golden_and_plan_parity(spark):
+    """Real frame extraction: luma means and frame indices pinned by a
+    handwritten Y4M; row counts match the plan-side work list exactly."""
+    import numpy as np
+
+    from addressit_spark.operators.multimodal import (
+        extract_frames,
+        frame_sample_plan,
+    )
+    from addressit_spark.parse_stage import normalize_documents
+    from addressit_spark.sources.corpus import documents_view, synth_corpus
+
+    # handwritten 2x2 C420 clip, 25 fps, 5 frames; frame k has constant
+    # luma k*10 (Y plane = 4 bytes, chroma = 2 bytes)
+    frames = b"".join(
+        b"FRAME\n" + bytes([k * 10] * 4) + bytes([128, 128]) for k in range(5)
+    )
+    y4m = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\n" + frames
+
+    from addressit_spark.operators.multimodal import sample_y4m_frames
+
+    # duration = 5 frames / 25fps = 200ms; sample every 40ms → ts 0..200
+    rows = sample_y4m_frames(y4m, every_ms=40)
+    assert [r[1] for r in rows] == [0, 40, 80, 120, 160, 200]  # ts_ms
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 4, 4]  # frame_idx (clamped)
+    assert [r[4] for r in rows] == [0.0, 10.0, 20.0, 30.0, 40.0, 40.0]  # luma
+    assert all(r[2] == 2 and r[3] == 2 for r in rows)  # dims
+    assert rows[1][5] == bytes([10] * 4) + bytes([128, 128])  # raw frame
+
+    # non-Y4M payloads refuse (codec contract)
+    with pytest.raises(NotImplementedError):
+        sample_y4m_frames(b"\xff\xd8\xff\xe0" + b"\x00" * 16, every_ms=40)
+
+    # the distributed operator: row count == the plan-side work list, and
+    # every emitted frame has the right byte length for its parsed dims
+    corpus = synth_corpus(spark, 60, seed=42)
+    spans2 = normalize_documents(documents_view(corpus))
+    n_plan = frame_sample_plan(spans2, every_ms=100).count()
+    real = extract_frames(spans2, every_ms=100)
+    got = real.select(
+        "width", "height", F.length("frame").alias("n")
+    ).collect()
+    assert n_plan == len(got) > 0
+    assert all(r["n"] == r["width"] * r["height"] * 3 // 2 for r in got)
