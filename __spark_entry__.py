@@ -784,6 +784,49 @@ def q_simhash_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus near-dup decisions: how many independent detectors agree.
+
+    A production dedup stage rarely trusts one signal; this emits, per
+    candidate pair, which of the three portable detectors (n-gram Jaccard,
+    banded MinHash, SimHash) flagged it and the agreement count — the
+    evidence table a keep/drop policy thresholds on. Reuses the three
+    oracle-backed driver queries VERBATIM (identical parameters), so the
+    DuckDB oracle composes their oracle bodies the same way and the whole
+    composition is value-checked end-to-end.
+    """
+    parts = [
+        q_ngram_jaccard(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("src", F.lit("ngram")),
+        q_minhash_dups_md5(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("src", F.lit("minhash")),
+        q_simhash_dups_md5(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("src", F.lit("simhash")),
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_signals"),
+            F.max(F.when(F.col("src") == "ngram", 1).otherwise(0))
+            .cast("long")
+            .alias("has_ngram"),
+            F.max(F.when(F.col("src") == "minhash", 1).otherwise(0))
+            .cast("long")
+            .alias("has_minhash"),
+            F.max(F.when(F.col("src") == "simhash", 1).otherwise(0))
+            .cast("long")
+            .alias("has_simhash"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ANN parameters shared by the rows-only top-k queries and the ann_recall
 # floor check. The synthetic embeddings are near-uniform random (top-10
 # neighbors at cos ≈ 0.2-0.5) — the adversarial case for hyperplane LSH, so
@@ -1031,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "minhash_dups_md5": q_minhash_dups_md5,
         "simhash_dups_md5": q_simhash_dups_md5,
+        "dedup_consensus": q_dedup_consensus,
         # similarity (SQL oracles)
         "embedding_topk": q_embedding_topk,
         "embedding_dup_exact": q_embedding_dup_exact,
@@ -1148,7 +1192,7 @@ _SIMHASH_SIG_CTES = r"""toks AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1679,3 +1723,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE 1 = 0
         """,
     }
+    # dedup_consensus composes the three portable detector oracles verbatim
+    # (as parenthesized subqueries — DuckDB allows WITH inside a derived
+    # table), exactly mirroring how the Spark query reuses the three driver
+    # queries; any drift in a detector shows up in BOTH sides identically,
+    # and a composition bug shows up as a consensus mismatch.
+    oracles["dedup_consensus"] = f"""
+        WITH all_pairs AS (
+            SELECT id_a, id_b, 'ngram' AS src FROM ({oracles["ngram_jaccard"]})
+            UNION ALL
+            SELECT id_a, id_b, 'minhash' AS src FROM ({oracles["minhash_dups_md5"]})
+            UNION ALL
+            SELECT id_a, id_b, 'simhash' AS src FROM ({oracles["simhash_dups_md5"]})
+        )
+        SELECT id_a, id_b,
+               CAST(count(*) AS BIGINT) AS n_signals,
+               CAST(max(CASE WHEN src = 'ngram' THEN 1 ELSE 0 END) AS BIGINT) AS has_ngram,
+               CAST(max(CASE WHEN src = 'minhash' THEN 1 ELSE 0 END) AS BIGINT) AS has_minhash,
+               CAST(max(CASE WHEN src = 'simhash' THEN 1 ELSE 0 END) AS BIGINT) AS has_simhash
+        FROM all_pairs
+        GROUP BY id_a, id_b
+        ORDER BY id_a, id_b
+    """
+    return oracles
