@@ -839,6 +839,30 @@ IVF_PARAMS = dict(k=10, n_centroids=16, nprobe=6)
 ANN_RECALL_FLOORS = {"ivf": 0.8, "lsh": 0.6}
 
 
+def q_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: per clustered doc, its canonical survivor.
+
+    Pairs with ≥2 detector votes (`dedup_consensus`) become edges; the
+    flagship large-star/small-star CC kernel clusters them; the min-id
+    labeling IS the canonical choice (component == min uid after the
+    relabel pass), so each clustered doc gets ``canonical_id`` and a
+    ``keep`` flag — the table a training pipeline anti-joins against the
+    corpus. Oracled end-to-end: consensus composition + recursive-CTE
+    transitive closure in DuckDB.
+    """
+    pairs = q_dedup_consensus(spark, sf_dir).where(F.col("n_signals") >= 2)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return (
+        connected_components(edges)
+        .select(
+            F.col("uid").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            (F.col("uid") == F.col("component")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
@@ -1075,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dups_md5": q_minhash_dups_md5,
         "simhash_dups_md5": q_simhash_dups_md5,
         "dedup_consensus": q_dedup_consensus,
+        "dedup_keep_policy": q_dedup_keep_policy,
         # similarity (SQL oracles)
         "embedding_topk": q_embedding_topk,
         "embedding_dup_exact": q_embedding_dup_exact,
@@ -1744,5 +1769,22 @@ def oracle_sql() -> dict[str, str]:
         FROM all_pairs
         GROUP BY id_a, id_b
         ORDER BY id_a, id_b
+    """
+    # keep-policy: ≥2-vote consensus edges → recursive-CTE transitive
+    # closure with min-id canonical labeling, mirroring the CC kernel's
+    # min-uid component labels
+    oracles["dedup_keep_policy"] = f"""
+        WITH RECURSIVE cons AS ({oracles["dedup_consensus"]}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM cons WHERE n_signals >= 2),
+        und AS (
+            SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+        reach(node, r) AS (
+            SELECT src AS node, dst AS r FROM und
+            UNION
+            SELECT u.src AS node, reach.r FROM und u JOIN reach ON u.dst = reach.node)
+        SELECT node AS doc_id,
+               least(node, min(r)) AS canonical_id,
+               node = least(node, min(r)) AS keep
+        FROM reach GROUP BY node ORDER BY doc_id
     """
     return oracles
