@@ -863,6 +863,35 @@ def q_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone artifact: the post-dedup training-corpus manifest.
+
+    Drops every non-canonical duplicate (``dedup_keep_policy``, keep=false),
+    assigns the survivors their deterministic train/val/test split, and
+    reports docs + whitespace-token totals per (split, lang) — the manifest
+    a training run consumes. Every stage reuses an oracle-green building
+    block (consensus detectors → CC keep policy → hash split → token
+    counts), and the DuckDB oracle composes the same pieces, so the whole
+    end-to-end dataflow is value-checked as one query.
+    """
+    d = _t(spark, sf_dir, "documents")
+    dropped = (
+        q_dedup_keep_policy(spark, sf_dir).where(~F.col("keep")).select("doc_id")
+    )
+    kept = with_token_stats(d.join(dropped, "doc_id", "left_anti"))
+    s = assign_split(
+        kept, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], seed=42
+    )
+    return (
+        s.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_count").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
@@ -1100,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups_md5": q_simhash_dups_md5,
         "dedup_consensus": q_dedup_consensus,
         "dedup_keep_policy": q_dedup_keep_policy,
+        "corpus_manifest": q_corpus_manifest,
         # similarity (SQL oracles)
         "embedding_topk": q_embedding_topk,
         "embedding_dup_exact": q_embedding_dup_exact,
@@ -1786,5 +1816,24 @@ def oracle_sql() -> dict[str, str]:
                least(node, min(r)) AS canonical_id,
                node = least(node, min(r)) AS keep
         FROM reach GROUP BY node ORDER BY doc_id
+    """
+    # capstone manifest: survivors of the keep policy, hash-split (same
+    # thresholds as doc_split_counts), whitespace-token totals per cell
+    oracles["corpus_manifest"] = f"""
+        SELECT CASE
+                 WHEN h < 922337203685477632 THEN 'train'
+                 WHEN h < 1037629354146162304 THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               lang, count(*) AS n_docs,
+               CAST(sum(tc) AS BIGINT) AS total_tokens
+        FROM (SELECT lang,
+                     ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT AS h,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     t -> t != '')) AS tc
+              FROM documents
+              WHERE doc_id NOT IN (
+                  SELECT doc_id FROM ({oracles["dedup_keep_policy"]}) WHERE NOT keep))
+        GROUP BY 1, 2 ORDER BY split, lang
     """
     return oracles
