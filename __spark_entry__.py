@@ -930,8 +930,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", ivf_topk(emb, queries_df, **IVF_PARAMS)),
         ("lsh", lsh_topk(emb, queries_df, **LSH_PARAMS)),
     ):
-        hits = approx.select("query_id", "neighbor_id").join(
-            exact, ["query_id", "neighbor_id"], "left_semi"
+        # defensive distinct: the top-k kernels dedup internally, but an
+        # inflated-recall bug (duplicate (query, neighbor) rows counted
+        # twice) must flip a driver value, not pass silently
+        hits = (
+            approx.select("query_id", "neighbor_id")
+            .distinct()
+            .join(exact, ["query_id", "neighbor_id"], "left_semi")
         )
         parts.append(
             hits.agg(F.count(F.lit(1)).alias("n_hits"))
@@ -947,6 +952,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_hits") / F.col("n_exact")
                     >= F.lit(ANN_RECALL_FLOORS[method])
                 ).alias("passes_floor"),
+                # two-sided sanity: recall can never exceed 1 — an
+                # inflated n_hits turns this false and the hash red
+                (F.col("n_hits") <= F.col("n_exact")).alias("hits_bounded"),
             )
         )
     out = parts[0]
@@ -1034,10 +1042,15 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = normalize_documents(documents_view(corpus))
     return (
         extract_frames(spans, every_ms=100)
+        # sum an INTEGER centiluma per row: float summation order is
+        # partition-dependent, so summing doubles then rounding could
+        # flip a digit across parallelism/AQE settings; integer sums are
+        # exact and order-independent
+        .withColumn("centiluma", F.round(F.col("luma_mean") * 100).cast("long"))
         .groupBy("width", "height")
         .agg(
             F.count(F.lit(1)).alias("n_frames"),
-            F.round(F.sum("luma_mean"), 2).alias("luma_sum"),
+            (F.sum("centiluma") / F.lit(100.0)).alias("luma_sum"),
         )
         .orderBy("width", "height")
     )
@@ -1768,7 +1781,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": """
             SELECT method, 10 AS k,
                    (SELECT count(*) FROM embeddings WHERE vec_id < 5) AS n_queries,
-                   true AS passes_floor
+                   true AS passes_floor,
+                   true AS hits_bounded
             FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh')
             ORDER BY method
         """,
@@ -1821,8 +1835,8 @@ def oracle_sql() -> dict[str, str]:
     # thresholds as doc_split_counts), whitespace-token totals per cell
     oracles["corpus_manifest"] = f"""
         SELECT CASE
-                 WHEN h < 922337203685477632 THEN 'train'
-                 WHEN h < 1037629354146162304 THEN 'val'
+                 WHEN h < {rate_threshold(0.8)} THEN 'train'
+                 WHEN h < {rate_threshold(0.8 + 0.1)} THEN 'val'
                  ELSE 'test'
                END AS split,
                lang, count(*) AS n_docs,

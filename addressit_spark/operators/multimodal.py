@@ -159,6 +159,46 @@ def _wav_chunks(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
 
 
+def _y4m_stream(payload: bytes):
+    """Positional YUV4MPEG2 parse: ``(width, height, fps_num, fps_den,
+    [frame_raster, ...])``.
+
+    Frames are walked positionally — read one ``FRAME`` line (which per the
+    spec may carry parameters, ``FRAME <params>\\n``), then consume exactly
+    ``w*h*3//2`` raster bytes — never by splitting on the magic, since raw
+    raster bytes can legally contain ``b"FRAME\\n"``.
+    """
+    header, _, body = payload.partition(b"\n")
+    w = h = None
+    num, den = 25, 1
+    for param in header.split()[1:]:
+        tag, val = param[:1], param[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = (int(x) for x in val.split(b":"))
+    if not w or not h:
+        raise NotImplementedError("YUV4MPEG2 stream header missing W/H")
+    frame_size = w * h * 3 // 2  # planar 4:2:0
+    frames = []
+    pos = 0
+    while pos < len(body):
+        nl = body.index(b"\n", pos)
+        if body[pos : pos + 5] != b"FRAME":
+            raise NotImplementedError(
+                "YUV4MPEG2 frame header expected at offset %d, got %r"
+                % (pos, body[pos : pos + 5])
+            )
+        raster = body[nl + 1 : nl + 1 + frame_size]
+        if len(raster) < frame_size:
+            raise NotImplementedError("truncated YUV4MPEG2 frame")
+        frames.append(raster)
+        pos = nl + 1 + frame_size
+    return w, h, num, den, frames
+
+
 def parse_media_header(
     payload: bytes,
 ) -> Tuple[Optional[int], Optional[int], Optional[int]]:
@@ -186,19 +226,8 @@ def parse_media_header(
         byte_rate = rate * channels * (bits // 8)
         return None, None, data_size * 1000 // byte_rate
     if payload[:9] == b"YUV4MPEG2":
-        header, _, _ = payload.partition(b"\n")
-        w = ht = None
-        num, den = 25, 1
-        for param in header.split()[1:]:
-            tag, val = param[:1], param[1:]
-            if tag == b"W":
-                w = int(val)
-            elif tag == b"H":
-                ht = int(val)
-            elif tag == b"F":
-                num, den = (int(x) for x in val.split(b":"))
-        n_frames = payload.count(b"FRAME\n")
-        return w, ht, n_frames * 1000 * den // num
+        w, ht, num, den, frames = _y4m_stream(payload)
+        return w, ht, len(frames) * 1000 * den // num
     raise NotImplementedError(
         "unsupported media container (no codec for this magic in this "
         "environment): %r" % payload[:8]
@@ -222,8 +251,7 @@ def decode_media(payload: bytes) -> np.ndarray:
                 return np.frombuffer(payload[off : off + size], dtype="<i2")
         raise NotImplementedError("WAVE payload without data chunk")
     if payload[:9] == b"YUV4MPEG2":
-        _, _, body = payload.partition(b"\n")
-        frames = body.split(b"FRAME\n")
+        _, _, _, _, frames = _y4m_stream(payload)
         return np.frombuffer(b"".join(frames), dtype=np.uint8)
     raise NotImplementedError(
         "unsupported media container (no codec for this magic in this "
@@ -436,18 +464,7 @@ def sample_y4m_frames(payload: bytes, every_ms: int) -> list:
         raise NotImplementedError(
             "sample_y4m_frames: no codec for magic %r" % payload[:8]
         )
-    header, _, body = payload.partition(b"\n")
-    w = h = None
-    num, den = 25, 1
-    for param in header.split()[1:]:
-        tag, val = param[:1], param[1:]
-        if tag == b"W":
-            w = int(val)
-        elif tag == b"H":
-            h = int(val)
-        elif tag == b"F":
-            num, den = (int(x) for x in val.split(b":"))
-    frames = body.split(b"FRAME\n")[1:]
+    w, h, num, den, frames = _y4m_stream(payload)
     duration_ms = len(frames) * 1000 * den // num
     luma = w * h  # planar 4:2:0: Y plane first
     out = []

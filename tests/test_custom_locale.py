@@ -87,21 +87,25 @@ rl.on('line', (line) => {
 def _run_reference(requests):
     # fresh dir per invocation: concurrent runs (or a stale stub from an
     # older run at a fixed path) can neither race nor mask stub changes
+    import shutil
     import tempfile
 
     probe_dir = tempfile.mkdtemp(prefix="locale_probe_")
-    os.makedirs(probe_dir + "/node_modules/cog", exist_ok=True)
-    with open(probe_dir + "/node_modules/cog/extend.js", "w") as f:
-        f.write(_EXTEND_STUB)
-    with open(probe_dir + "/diff.js", "w") as f:
-        f.write(_PROBE)
-    env = dict(os.environ, NODE_PATH=probe_dir + "/node_modules")
-    inp = "\n".join(json.dumps(r) for r in requests) + "\n"
-    out = subprocess.run(
-        [NODE, probe_dir + "/diff.js"], input=inp, capture_output=True,
-        text=True, env=env, check=True,
-    )
-    return [json.loads(l) for l in out.stdout.splitlines()]
+    try:
+        os.makedirs(probe_dir + "/node_modules/cog", exist_ok=True)
+        with open(probe_dir + "/node_modules/cog/extend.js", "w") as f:
+            f.write(_EXTEND_STUB)
+        with open(probe_dir + "/diff.js", "w") as f:
+            f.write(_PROBE)
+        env = dict(os.environ, NODE_PATH=probe_dir + "/node_modules")
+        inp = "\n".join(json.dumps(r) for r in requests) + "\n"
+        out = subprocess.run(
+            [NODE, probe_dir + "/diff.js"], input=inp, capture_output=True,
+            text=True, env=env, check=True,
+        )
+        return [json.loads(l) for l in out.stdout.splitlines()]
+    finally:
+        shutil.rmtree(probe_dir, ignore_errors=True)
 
 
 def _norm(rec):

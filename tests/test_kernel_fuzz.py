@@ -103,21 +103,25 @@ def _gen(rng: random.Random, locale: str) -> str:
 def _run_reference(cases):
     # fresh dir per invocation: concurrent runs (or a stale stub from an
     # older run at a fixed path) can neither race nor mask stub changes
+    import shutil
     import tempfile
 
     probe_dir = tempfile.mkdtemp(prefix="fuzz_probe_")
-    os.makedirs(probe_dir + "/node_modules/cog", exist_ok=True)
-    with open(probe_dir + "/node_modules/cog/extend.js", "w") as f:
-        f.write(_EXTEND_STUB)
-    with open(probe_dir + "/diff.js", "w") as f:
-        f.write(_PROBE)
-    env = dict(os.environ, NODE_PATH=probe_dir + "/node_modules")
-    inp = "\n".join(json.dumps(c) for c in cases) + "\n"
-    out = subprocess.run(
-        [NODE, probe_dir + "/diff.js"], input=inp, capture_output=True,
-        text=True, env=env, check=True,
-    )
-    return [json.loads(l) for l in out.stdout.splitlines()]
+    try:
+        os.makedirs(probe_dir + "/node_modules/cog", exist_ok=True)
+        with open(probe_dir + "/node_modules/cog/extend.js", "w") as f:
+            f.write(_EXTEND_STUB)
+        with open(probe_dir + "/diff.js", "w") as f:
+            f.write(_PROBE)
+        env = dict(os.environ, NODE_PATH=probe_dir + "/node_modules")
+        inp = "\n".join(json.dumps(c) for c in cases) + "\n"
+        out = subprocess.run(
+            [NODE, probe_dir + "/diff.js"], input=inp, capture_output=True,
+            text=True, env=env, check=True,
+        )
+        return [json.loads(l) for l in out.stdout.splitlines()]
+    finally:
+        shutil.rmtree(probe_dir, ignore_errors=True)
 
 
 FIELDS = ("unit", "number", "street", "state", "country", "postalcode", "regions", "text")
