@@ -64,7 +64,12 @@ from addressit_spark.operators.text import (
     with_token_stats,
     quality_score,
 )
-from addressit_spark.parse_stage import make_parse_udf, normalize_documents, parse_spans
+from addressit_spark.parse_stage import (
+    format_address_col,
+    make_parse_udf,
+    normalize_documents,
+    parse_spans,
+)
 from addressit_spark.pipeline import run_pipeline
 from addressit_spark.sources.corpus import documents_view, synth_corpus, truth_view
 
@@ -726,20 +731,37 @@ def q_parse_udf_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame([(t,) for t in inputs], ["input"])
     a = df.select("input", make_parse_udf("en-US")(F.col("input")).alias("a"))
     return a.select(
-        "input", "a.unit", "a.number", "a.street", "a.state", "a.postalcode"
+        "input", "a.unit", "a.number", "a.street", "a.state", "a.postalcode",
+        # O17 toString, driver-visible: the JVM column twin of
+        # kernel.to_string (/root/reference/address.js:313-328); twin≡kernel
+        # equality is golden-tested in tests/test_parse_stage.py
+        format_address_col(F.col("a")).alias("formatted"),
     ).orderBy("input")
 
 
 def q_er_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER pipeline stats: cluster-size histogram UNION block-size histogram.
+
+    One driver row covers both iterative-CC output shape and the blocking
+    skew diagnostic (both are (bucket, n) histograms, tagged by ``stat``).
+    The block histogram reuses the pipeline's own parsed address stage —
+    no second parse pass.
+    """
     corpus = synth_corpus(spark, _entities_for(sf_dir), seed=42)
     res = run_pipeline(spark, documents_view(corpus))
-    return (
+    clusters = (
         res.clusters.groupBy("component")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).alias("n_clusters"))
-        .orderBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("cluster_size").alias("stat"), "bucket", "n")
     )
+    blocks = block_stats(res.addresses).select(
+        F.lit("block_size").alias("stat"),
+        F.col("block_size").alias("bucket"),
+        F.col("n_blocks").alias("n"),
+    )
+    return clusters.unionByName(blocks).orderBy("stat", "bucket")
 
 
 def q_er_block_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,6 +1119,198 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# merged rows-only queries — the driver's correctness harness records only
+# the first 50 registry entries, so the rows-only twins are consolidated
+# (family/detector/method tag column + a normalized value) to keep EVERY
+# registered query inside the driver's window while still exercising every
+# engine path. The per-family functions above stay importable (unit tests
+# and bench time them individually via BENCH_ONLY_QUERIES).
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ∪ IVF approximate top-k, tagged by method (rows-only: both rely
+    on engine-specific hashing/iteration; their recall floors are the
+    oracle-backed ``ann_recall`` / ``ann_recall_clustered`` rows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    parts = [
+        lsh_topk(emb, queries_df, **LSH_PARAMS).select(
+            F.lit("lsh").alias("method"), "query_id", "rank", "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        ),
+        ivf_topk(emb, queries_df, **IVF_PARAMS).select(
+            F.lit("ivf").alias("method"), "query_id", "rank", "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        ),
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("method", "query_id", "rank")
+
+
+def q_dedup_engine_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-hash near-dup detectors, tagged by detector (rows-only: the
+    xxhash64 signatures and hyperplane buckets are engine-specific; each has
+    an oracle-green portable/exact twin — minhash_dups_md5, simhash_dups_md5,
+    embedding_dup_exact — and minhash_engine_parity value-locks the first)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    parts = [
+        minhash_dup_pairs(docs, k=64, bands=16, n=3, min_est_jaccard=0.4).select(
+            F.lit("minhash").alias("detector"),
+            F.col("id_a").cast("string").alias("id_a"),
+            F.col("id_b").cast("string").alias("id_b"),
+            F.col("est_jaccard").cast("double").alias("score"),
+        ),
+        simhash_dup_pairs(docs, max_hamming=6).select(
+            F.lit("simhash").alias("detector"),
+            F.col("id_a").cast("string").alias("id_a"),
+            F.col("id_b").cast("string").alias("id_b"),
+            F.col("hamming").cast("double").alias("score"),
+        ),
+        embedding_near_dup_pairs(emb, min_cos=0.99, bits=10).select(
+            F.lit("embedding_lsh").alias("detector"),
+            F.col("id_a").cast("string").alias("id_a"),
+            F.col("id_b").cast("string").alias("id_b"),
+            F.round("cos_sim", 6).cast("double").alias("score"),
+        ),
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.orderBy("detector", "id_a", "id_b")
+
+
+def q_doc_sketches_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK quantile + HLL distinct sketches, long format (rows-only: both
+    estimates are engine-specific; accuracy vs the oracle-green exact twins
+    doc_len_quantiles / doc_distinct_exact is asserted in tests)."""
+    d = _t(spark, sf_dir, "documents")
+    qa = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.percentile_approx("n_chars", p, 10_000).alias(name)
+            for name, p in {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}.items()
+        ],
+    )
+    quant = qa.selectExpr(
+        "'gk_quantiles' AS sketch",
+        "lang AS key",
+        "stack(5, 'n_docs', cast(n_docs AS double), 'p25', cast(p25 AS double), "
+        "'p50', cast(p50 AS double), 'p75', cast(p75 AS double), "
+        "'p95', cast(p95 AS double)) AS (metric, value)",
+    )
+    hll = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.approx_count_distinct(F.md5("text"), rsd=0.02).alias("n_distinct"),
+        )
+        .selectExpr(
+            "'hll_distinct' AS sketch",
+            "source AS key",
+            "stack(2, 'n_docs', cast(n_docs AS double), "
+            "'n_distinct_approx', cast(n_distinct AS double)) AS (metric, value)",
+        )
+    )
+    return quant.unionByName(hll).orderBy("sketch", "key", "metric")
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole multimodal suite in one long-format row set (rows-only:
+    payload bytes are engine-produced): header parse (meta), full
+    decode+featurize, nearest-neighbor resize re-encoded to valid P6, real
+    Y4M frame decode with exact integer luma sums, and the plan-side frame
+    work list. One corpus synthesis + span normalization feeds all five
+    families; values stay driver-visible so a codec regression changes a
+    value, not just a count.
+    """
+    corpus = synth_corpus(spark, min(_entities_for(sf_dir), 500), seed=42)
+    spans = normalize_documents(documents_view(corpus))
+    key = lambda *cols: F.concat_ws(":", *cols)  # noqa: E731
+
+    meta = (
+        with_media_meta(spans)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+        )
+        .selectExpr(
+            "'meta' AS family", "kind AS key",
+            "stack(2, 'n_spans', cast(n_spans AS double), "
+            "'avg_bytes', avg_bytes) AS (metric, value)",
+        )
+    )
+    feats = decode_and_featurize(spans).select(
+        F.lit("features").alias("family"),
+        key("doc_id", "pos").alias("key"),
+        F.size("feature").cast("double").alias("feature_dim"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 4
+        ).alias("feature_sum"),
+    ).selectExpr(
+        "family", "key",
+        "stack(2, 'feature_dim', feature_dim, 'feature_sum', feature_sum) "
+        "AS (metric, value)",
+    )
+    resize = (
+        resize_images(spans, target_w=16, target_h=12)
+        .groupBy("src_width", "src_height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.max(F.length("payload")).alias("out_bytes"),
+        )
+        .select(
+            F.lit("resize").alias("family"),
+            key("src_width", "src_height").alias("key"),
+            F.col("n_images").cast("double"),
+            F.col("out_bytes").cast("double"),
+        )
+        .selectExpr(
+            "family", "key",
+            "stack(2, 'n_images', n_images, 'out_bytes', out_bytes) "
+            "AS (metric, value)",
+        )
+    )
+    frames = (
+        extract_frames(spans, every_ms=100)
+        # exact integer centiluma per row → order-independent sum
+        .withColumn("centiluma", F.round(F.col("luma_mean") * 100).cast("long"))
+        .groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            (F.sum("centiluma") / F.lit(100.0)).alias("luma_sum"),
+        )
+        .select(
+            F.lit("frames").alias("family"),
+            key("width", "height").alias("key"),
+            F.col("n_frames").cast("double"),
+            F.col("luma_sum"),
+        )
+        .selectExpr(
+            "family", "key",
+            "stack(2, 'n_frames', n_frames, 'luma_sum', luma_sum) "
+            "AS (metric, value)",
+        )
+    )
+    plan = (
+        frame_sample_plan(spans, every_ms=100)
+        .groupBy("doc_id", "pos")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .select(
+            F.lit("frame_plan").alias("family"),
+            key("doc_id", "pos").alias("key"),
+            F.lit("n_frames").alias("metric"),
+            F.col("n_frames").cast("double").alias("value"),
+        )
+    )
+    out = meta
+    for p in (feats, resize, frames, plan):
+        out = out.unionByName(p)
+    return out.orderBy("family", "key", "metric")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core (SQL oracles)
@@ -1119,9 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_unpivot": q_events_type_unpivot,
         # quantiles / distinct sketches
         "doc_len_quantiles": q_doc_len_quantiles,
-        "doc_len_quantiles_approx": q_doc_len_quantiles_approx,
         "doc_distinct_exact": q_doc_distinct_exact,
-        "doc_distinct_approx": q_doc_distinct_approx,
         # text analysis (SQL oracles)
         "doc_token_stats": q_doc_token_stats,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1150,23 +1362,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outcome; the Spark side genuinely computes recall / set parity)
         "ann_recall": q_ann_recall,
         "minhash_engine_parity": q_minhash_engine_parity,
-        # rows-only: pandas-UDF kernels / engine-hash LSH / iterative CC
-        "parse_udf_fields": q_parse_udf_fields,
-        "er_cluster_sizes": q_er_cluster_sizes,
-        "er_block_histogram": q_er_block_histogram,
-        "minhash_dups": q_minhash_dups,
-        "simhash_dups": q_simhash_dups,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "embedding_dup_lsh": q_embedding_dup_lsh,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
-        "media_meta": q_media_meta,
-        "media_resize": q_media_resize,
-        "media_frames": q_media_frames,
-        "media_features": q_media_features,
-        "frame_sample": q_frame_sample,
+        # rows-only (registered LAST: the driver's correctness harness
+        # records the first 50 entries, so every oracle-backed query comes
+        # first and the registry total stays ≤50 — the rows-only engine
+        # twins are consolidated into tagged unions, see the merged-query
+        # section above): pandas-UDF kernels / engine-hash LSH / iterative CC
+        "parse_udf_fields": q_parse_udf_fields,
+        "er_cluster_sizes": q_er_cluster_sizes,
+        "dedup_engine_twins": q_dedup_engine_twins,
+        "ann_topk": q_ann_topk,
+        "doc_sketches_approx": q_doc_sketches_approx,
+        "media_pipeline": q_media_pipeline,
     }
+
+
+# Retired registry names, kept callable for bench.py's cross-round timed sets
+# and ad-hoc use — identical computations to what BENCH_r01..r04 timed.
+BENCH_ONLY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "er_block_histogram": q_er_block_histogram,
+    "minhash_dups": q_minhash_dups,
+    "simhash_dups": q_simhash_dups,
+    "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
+    "embedding_dup_lsh": q_embedding_dup_lsh,
+    "media_meta": q_media_meta,
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
+    "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
+}
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator, Optional, Tuple
 
 import numpy as np

@@ -3,10 +3,14 @@
 
 Default mode (what the driver runs per round): times the headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line::
 
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": 0.1, ...extras}
+     "queries": {...per-query sec...}, "sf": 0.1, "detail": "BENCH/..."}
+
+The bulky evidence (per-trial arrays, isolated ER re-runs, normalization
+maps) goes to ``BENCH/r05_detail.json`` — the driver's tail-capture window
+is 2000 chars and round 4's all-in-one line overflowed it (parsed: null).
 
 ``--scaling`` mode: N-vs-4N-executor evidence → BENCH/BASELINE.md. Runs the
 identical fused scoring job on byte-identical prepared input at 1-vs-4
@@ -148,7 +152,10 @@ def run_bench() -> dict:
         return out
 
     # --- headline relational / text / dedup / similarity queries ---
-    qmap = entry_mod.queries()
+    # retired registry names (consolidated out of the driver's 50-entry
+    # correctness window) stay timeable so cross-round comparable sets and
+    # headline lists keep their exact original computations
+    qmap = {**entry_mod.BENCH_ONLY_QUERIES, **entry_mod.queries()}
     if not ONLY_ER:
         # untimed JVM/session warmup so the first timed query doesn't absorb
         # ~4s of codegen/JIT/session startup and round-over-round deltas
@@ -907,6 +914,53 @@ Raw JSON (best runs):
 """
 
 
+DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO, "BENCH", "r05_detail.json")
+)
+
+# keys kept on the printed headline line; everything else (trial arrays,
+# isolated re-runs, normalization maps, probe raws) goes to DETAIL_PATH
+_COMPACT_KEYS = (
+    "metric", "value", "unit", "sf", "cpus",
+    "comparable_total_sec", "normalized_total_sec",
+    "er_pairs_per_sec", "er_clusters", "er_entities",
+    "er_full_pipeline_stages",
+)
+
+
+def emit_report(report: dict) -> str:
+    """Write the FULL report to DETAIL_PATH; return a compact headline line.
+
+    Round 4's report line (trial arrays + er_isolated + stage maps) outgrew
+    the driver's 2000-char tail-capture window → ``BENCH_r04.json``
+    ``"parsed": null``. The driver parses the LAST JSON line of the tail, so
+    the printed line must stay well under 2000 chars; the bulky evidence is
+    committed as a BENCH/ detail file instead. Degrades by dropping the
+    per-query map down to the frozen comparable set if the full map would
+    overflow (it does not at the current query count — belt and braces).
+    """
+    os.makedirs(os.path.dirname(DETAIL_PATH), exist_ok=True)
+    with open(DETAIL_PATH, "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+
+    compact = {k: report[k] for k in _COMPACT_KEYS if k in report}
+    cal = report.get("calibration") or {}
+    compact["calibration"] = {
+        k: cal[k] for k in ("host_cpu_factor", "host_bw_factor") if k in cal
+    }
+    compact["detail"] = os.path.relpath(DETAIL_PATH, REPO)
+    for qset in (
+        report.get("queries", {}),
+        {q: t for q, t in report.get("queries", {}).items()
+         if q in R1_COMPARABLE_SET},
+        {},
+    ):
+        line = json.dumps({**compact, "queries": qset})
+        if len(line) <= 1800:
+            return line
+    return json.dumps(compact)
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         print(json.dumps(run_scaling_worker()))
@@ -919,4 +973,10 @@ if __name__ == "__main__":
     elif "--inc-cc" in sys.argv:
         print(json.dumps(run_inc_cc_bench()))
     else:
-        print(json.dumps(run_bench()))
+        report = run_bench()
+        if ONLY_ER:
+            # scaling/isolated-probe workers are machine-parsed by the parent
+            # process, which wants the full dict on stdout, not a detail file
+            print(json.dumps(report))
+        else:
+            print(emit_report(report))

@@ -55,10 +55,8 @@ def test_no_cartesian_products_anywhere(spark):
     broadcast query set — that is not a CartesianProduct.)
     """
     for name, q in entry_mod.queries().items():
-        if name in ("er_cluster_sizes", "er_block_histogram", "media_features",
-                    "media_meta", "frame_sample", "minhash_dups", "simhash_dups",
-                    "ngram_jaccard", "embedding_dup_lsh", "embedding_dup_exact",
-                    "lsh_topk"):
+        if name in ("er_cluster_sizes", "media_pipeline", "dedup_engine_twins",
+                    "ann_topk", "ngram_jaccard", "embedding_dup_exact"):
             continue  # eager/self-join ops exercised elsewhere; some build RDDs
         df = q(spark, SF_DIR)
         full = spark._jvm.PythonSQLUtils.explainString(
