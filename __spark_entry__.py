@@ -1037,8 +1037,10 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Resizes every image raster to 16x12 via nearest-neighbor resampling and
     aggregates by source dimensions; out_bytes is the length of the
-    re-encoded P6 container (13-byte header + 16*12*3 raster = 589 for every
-    row), so a codec regression shows up as a value change, not just a count.
+    re-encoded container (P6: 13-byte header + 16*12*3 raster = 589; PNG:
+    deflate-dependent), so a codec regression shows up as a value change,
+    not just a count. Half the image refs are PNG, so the compressed codec
+    is exercised in the driver-visible path, not only in unit goldens.
     """
     corpus = synth_corpus(spark, min(_entities_for(sf_dir), 500), seed=42)
     spans = normalize_documents(documents_view(corpus))

@@ -7,9 +7,12 @@ REAL container bytes:
 
 * ``synth_media_payload`` deterministically synthesizes a valid container
   per media_ref (the stand-in for the object-store fetch, which is the only
-  unreal step in this sandbox): binary PPM (P6) for images, RIFF/WAVE PCM
-  for audio, YUV4MPEG2 for video. All three are public self-describing
-  formats writable and parseable in pure Python.
+  unreal step in this sandbox): binary PPM (P6) or PNG for images (split
+  deterministically per ref, so both codecs are exercised in every run),
+  RIFF/WAVE PCM for audio, YUV4MPEG2 for video. All are public
+  self-describing formats writable and parseable in pure Python — PNG is a
+  REAL compressed format (zlib deflate + per-row filters), decoded here
+  end-to-end with only the stdlib.
 * ``parse_media_header`` reads width/height/duration back FROM THE BYTES
   (magic-sniffed, never trusting the claimed kind) — so ``with_media_meta``
   emits metadata computed from the binary column, not hash-derived fakes.
@@ -109,6 +112,133 @@ def _blake_stream(key: str, n: int) -> bytes:
 
 _WAV_RATE = 8_000  # Hz, PCM mono 16-bit
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """One PNG chunk: length, type, data, CRC32 over type+data."""
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, raster: bytes) -> bytes:
+    """Encode an 8-bit RGB raster as a valid PNG (stdlib-only).
+
+    Color type 2 (truecolor), bit depth 8, no interlace. Scanline filters
+    alternate None(0)/Up(2) by row so decoders must actually de-filter, and
+    the deflate stream is split across two IDAT chunks when large enough —
+    both are common in real-world files and exercise the decoder paths a
+    single-IDAT filter-0 writer would leave dark.
+    """
+    if len(raster) != width * height * 3:
+        raise ValueError("raster size != w*h*3")
+    stride = width * 3
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(height, stride)
+    lines = []
+    for r in range(height):
+        if r % 2 == 0:
+            lines.append(b"\x00" + rows[r].tobytes())
+        else:  # Up filter: cur - prev, mod 256
+            lines.append(
+                b"\x02"
+                + ((rows[r].astype(np.int16) - rows[r - 1]) & 0xFF)
+                .astype(np.uint8)
+                .tobytes()
+            )
+    compressed = zlib.compress(b"".join(lines), 6)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    mid = len(compressed) // 2
+    idats = (
+        _png_chunk(b"IDAT", compressed[:mid]) + _png_chunk(b"IDAT", compressed[mid:])
+        if len(compressed) > 64
+        else _png_chunk(b"IDAT", compressed)
+    )
+    return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + idats + _png_chunk(b"IEND", b"")
+
+
+def _png_chunks(payload: bytes):
+    """Yield (chunk_type, data) for a PNG payload (CRCs verified)."""
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        crc = struct.unpack_from(">I", payload, pos + 8 + size)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise NotImplementedError("PNG chunk CRC mismatch: %r" % ctype)
+        yield ctype, data
+        pos += 12 + size
+        if ctype == b"IEND":
+            return
+
+
+def _png_defilter(raw: bytes, width: int, height: int) -> np.ndarray:
+    """Reverse PNG scanline filtering for 8-bit RGB (bpp=3), all 5 types.
+
+    None(0) and Up(2) — the only filters our encoder emits — decode fully
+    vectorized; Sub(1)/Average(3)/Paeth(4) take the per-pixel recurrence
+    (they are inherently sequential in the left neighbor) and appear only in
+    foreign files, never in the synthesized hot path.
+    """
+    bpp, stride = 3, width * 3
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.int32)
+    for r in range(height):
+        ftype = int(rows[r, 0])
+        line = rows[r, 1:].astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r else zero
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise NotImplementedError("PNG filter type %d" % ftype)
+        out[r] = cur.astype(np.uint8)
+    return out.reshape(-1)
+
+
+def _png_decode(payload: bytes) -> Tuple[int, int, np.ndarray]:
+    """(width, height, flat uint8 RGB raster) from a PNG payload."""
+    width = height = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 2 or interlace != 0:
+                raise NotImplementedError(
+                    "PNG depth/color/interlace %d/%d/%d unsupported "
+                    "(this decoder handles 8-bit truecolor, no interlace)"
+                    % (depth, color, interlace)
+                )
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if width is None or not idat:
+        raise NotImplementedError("PNG without IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    return width, height, _png_defilter(raw, width, height)
+
 
 def synth_media_payload(media_ref: str, kind: str) -> bytes:
     """Deterministic VALID container bytes for a media_ref.
@@ -125,6 +255,8 @@ def synth_media_payload(media_ref: str, kind: str) -> bytes:
         w = 8 + h % 57
         ht = 8 + (h >> 8) % 41
         raster = _blake_stream(media_ref, w * ht * 3)
+        if (h >> 24) & 1:  # half the refs land in the compressed codec
+            return encode_png(w, ht, raster)
         return b"P6\n%d %d\n255\n" % (w, ht) + raster
     if kind == "audio":
         n_samples = 800 + h % 8_000  # 100ms .. ~1.1s at 8kHz
@@ -213,6 +345,10 @@ def parse_media_header(
         # P6 <ws> width <ws> height <ws> maxval <single-ws> raster
         fields = payload[2:64].split(None, 3)
         return int(fields[0]), int(fields[1]), None
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        # IHDR is mandated first: width/height at fixed offsets 16/20
+        w, ht = struct.unpack_from(">II", payload, 16)
+        return w, ht, None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate = channels = bits = None
         data_size = 0
@@ -238,14 +374,17 @@ def parse_media_header(
 def decode_media(payload: bytes) -> np.ndarray:
     """Fully decode a payload into raw samples (the real codec step).
 
-    PPM → uint8 RGB raster; WAVE → int16 PCM samples; YUV4MPEG2 → uint8
-    plane bytes of all frames. Unrecognized magics raise (swap point).
+    PPM/PNG → uint8 RGB raster (PNG via stdlib zlib inflate + de-filter);
+    WAVE → int16 PCM samples; YUV4MPEG2 → uint8 plane bytes of all frames.
+    Unrecognized magics raise (swap point).
     """
     if payload[:2] == b"P6":
         parts = payload.split(b"\n", 3)  # P6 / "w h" / maxval / raster
         w, ht = (int(x) for x in parts[1].split())
         raster = parts[3][: w * ht * 3]
         return np.frombuffer(raster, dtype=np.uint8)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _png_decode(payload)[2]
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         for cid, off, size in _wav_chunks(payload):
             if cid == b"data":
@@ -370,18 +509,21 @@ RESIZED_IMAGE_SCHEMA = StructType(
 )
 
 
-def resize_ppm(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """Nearest-neighbor resample of a binary-PPM raster → a valid P6.
+def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resample of a P6 or PNG image, re-encoded in kind.
 
     Pixel-center mapping (``src = floor((i + 0.5) * src_dim / dst_dim)``),
     the standard nearest-neighbor convention, so down- and up-scales are both
     deterministic and alignment-stable. Pure numpy fancy-indexing — no
-    Python per-pixel loop. Unrecognized magics raise (same codec contract as
-    ``decode_media``).
+    Python per-pixel loop. The output container matches the input's (P6→P6,
+    PNG→PNG), so the thumbnail written back to the store is the same format
+    a real pipeline would preserve. Unrecognized magics raise (same codec
+    contract as ``decode_media``).
     """
-    if payload[:2] != b"P6":
+    is_png = payload[: len(_PNG_SIG)] == _PNG_SIG
+    if payload[:2] != b"P6" and not is_png:
         raise NotImplementedError(
-            "resize_ppm: not a binary-PPM payload: %r" % payload[:8]
+            "resize_image: no codec for image magic: %r" % payload[:8]
         )
     w, h, _ = parse_media_header(payload)
     raster = decode_media(payload).reshape(h, w, 3)
@@ -392,7 +534,18 @@ def resize_ppm(payload: bytes, target_w: int, target_h: int) -> bytes:
         ((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64), w - 1
     )
     out = raster[rows[:, None], cols[None, :], :]
+    if is_png:
+        return encode_png(target_w, target_h, out.tobytes())
     return b"P6\n%d %d\n255\n" % (target_w, target_h) + out.tobytes()
+
+
+def resize_ppm(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Back-compat alias for the P6-only entry point (see resize_image)."""
+    if payload[:2] != b"P6":
+        raise NotImplementedError(
+            "resize_ppm: not a binary-PPM payload: %r" % payload[:8]
+        )
+    return resize_image(payload, target_w, target_h)
 
 
 def resize_images(spans: DataFrame, target_w: int, target_h: int) -> DataFrame:
@@ -428,7 +581,7 @@ def resize_images(spans: DataFrame, target_w: int, target_h: int) -> DataFrame:
                         [target_h] * len(pdf), dtype="Int32"
                     ),
                     "payload": [
-                        resize_ppm(bytes(p), target_w, target_h)
+                        resize_image(bytes(p), target_w, target_h)
                         for p in pdf["payload"]
                     ],
                 }

@@ -330,6 +330,95 @@ def test_media_headers_golden():
             assert len(decode_media(p)) % (w * h * 3 // 2) == 0
 
 
+def test_png_codec_golden():
+    """PNG — the real compressed codec — pinned end-to-end with stdlib only:
+    encode → magic-sniffed header parse → inflate → de-filter → exact raster,
+    including all five filter types, multi-IDAT reassembly, and CRC checks."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from addressit_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_media,
+        encode_png,
+        parse_media_header,
+        resize_image,
+        synth_media_payload,
+    )
+
+    # encoder round-trip with a coordinate-encoding raster (de-filter must
+    # reverse the alternating None/Up filters exactly)
+    src = np.zeros((5, 4, 3), dtype=np.uint8)
+    for y in range(5):
+        for x in range(4):
+            src[y, x] = (y, x, (7 * y + x) % 256)
+    png = encode_png(4, 5, src.tobytes())
+    assert png[: len(_PNG_SIG)] == _PNG_SIG
+    assert parse_media_header(png) == (4, 5, None)
+    assert decode_media(png).tobytes() == src.tobytes()
+
+    # large raster → multi-IDAT split; pixel-sum golden over blake content
+    big = synth_media_payload("media://image/pngdoc/s0", "image")
+    w, h, _ = parse_media_header(big)
+    raster = decode_media(big)
+    assert len(raster) == w * h * 3
+    # re-encode the decoded raster: byte-identical decode (codec is lossless)
+    assert decode_media(encode_png(w, h, raster.tobytes())).tobytes() == raster.tobytes()
+
+    # hand-built single-row PNGs exercising Sub(1)/Average(3)/Paeth(4):
+    # two rows of 2 RGB pixels, second row filtered with each type
+    row0 = bytes([10, 20, 30, 40, 50, 60])
+    row1 = bytes([11, 22, 33, 44, 55, 66])
+    for ftype in (1, 3, 4):
+        filt = bytearray()
+        prev = [0] * 6
+        cur = list(row1)
+        line = []
+        for i in range(6):
+            a = cur[i - 3] if i >= 3 else 0
+            b = list(row0)[i]
+            if ftype == 1:
+                pred = a
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                c = list(row0)[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line.append((cur[i] - pred) & 0xFF)
+        raw = b"\x00" + row0 + bytes([ftype]) + bytes(line)
+        ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        payload = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert decode_media(payload).tobytes() == row0 + row1, f"filter {ftype}"
+
+    # corrupt CRC is rejected, not silently decoded
+    bad = bytearray(png)
+    bad[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(NotImplementedError):
+        decode_media(bytes(bad))
+
+    # resize preserves the source container format (PNG→PNG)
+    small = resize_image(png, 2, 2)
+    assert small[: len(_PNG_SIG)] == _PNG_SIG
+    assert parse_media_header(small) == (2, 2, None)
+    got = decode_media(small).reshape(2, 2, 3)
+    for i in range(2):
+        for j in range(2):
+            # pixel-center mapping: dst (i, j) ← src floor((i+.5)*5/2), floor((j+.5)*4/2)
+            assert got[i, j].tolist() == src[
+                int((i + 0.5) * 5 / 2), int((j + 0.5) * 4 / 2)
+            ].tolist()
+
+
 def test_decode_unsupported_container_raises():
     """Compressed real-world codecs are absent: unknown magics raise at the
     documented swap point instead of fabricating output."""
@@ -654,9 +743,9 @@ def test_resize_ppm_golden():
 
 
 def test_resize_images_spark_roundtrip(spark):
-    """Spark thumbnail stage: every output payload is a valid P6 whose
-    re-parsed header equals the target dims, raster bytes match the
-    kernel-side resize of the same source payload."""
+    """Spark thumbnail stage: every output payload is a valid container (P6
+    or PNG, matching its source) whose re-parsed header equals the target
+    dims, bytes matching the kernel-side resize of the same source payload."""
     from addressit_spark.operators.multimodal import (
         parse_media_header,
         resize_images,
@@ -674,9 +763,10 @@ def test_resize_images_spark_roundtrip(spark):
         assert parse_media_header(payload) == (16, 12, None)
         src = synth_media_payload(r["media_ref"], "image")
         assert (r["src_width"], r["src_height"]) == parse_media_header(src)[:2]
-        from addressit_spark.operators.multimodal import resize_ppm
+        assert payload[:2] == src[:2]  # container format preserved
+        from addressit_spark.operators.multimodal import resize_image
 
-        assert payload == resize_ppm(src, 16, 12)
+        assert payload == resize_image(src, 16, 12)
 
 
 def test_extract_frames_golden_and_plan_parity(spark):
