@@ -12,8 +12,9 @@ practice 2-4 for blocking-derived near-clique graphs.
 
 Each round materializes via ``localCheckpoint`` to truncate lineage (the
 iterative self-join would otherwise stack an exponential plan), and
-convergence is a count+checksum fixpoint over the canonicalized edge set —
-two cheap aggregations per round, no driver-side graph state.
+convergence is a count+checksum fixpoint over the canonicalized edge set,
+read as ``observe`` metrics from the SAME checkpoint job — one job per
+round, no second aggregation pass, no driver-side graph state.
 
 The iterated rounds run on join-assigned 8-byte long node ids, not the span
 uid strings: a ~40-byte uid would otherwise ride every one of the O(log n)
@@ -31,7 +32,9 @@ public contract exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Optional
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -68,13 +71,25 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return emitted.union(self_edges).where(F.col("src") != F.col("dst"))
 
 
-def _fingerprint(edges: DataFrame):
-    row = edges.agg(
+def _checkpoint_with_fingerprint(edges: DataFrame):
+    """Materialize a round's edge set and read its fixpoint fingerprint
+    from the SAME pass.
+
+    The convergence check (count + order-insensitive checksum) rides the
+    eager ``localCheckpoint`` job as ``observe`` metrics, so each CC round
+    costs exactly one job — not a checkpoint job plus a second scan-and-agg
+    job over the checkpointed data. Returns (checkpointed_edges, (n, sum)).
+    """
+    obs = Observation()
+    observed = edges.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         # decimal(38) accumulator: immune to ANSI long-overflow at any scale
         F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("checksum"),
-    ).collect()[0]
-    return (row["n"], row["checksum"])
+    )
+    ck = observed.localCheckpoint(eager=True)
+    m = obs.get  # already populated: the eager checkpoint ran the plan
+    return ck, (m["n"], m["checksum"])
 
 
 def _node_ids(edges: DataFrame) -> DataFrame:
@@ -94,11 +109,20 @@ def _node_ids(edges: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = 25,
+    round_log: Optional[list] = None,
+) -> DataFrame:
     """(src, dst) edge list → (uid, component) with component = min uid.
 
     Nodes that appear in no edge are absent; callers union isolated nodes
     with ``component = uid`` (see pipeline).
+
+    ``round_log`` (optional): the number of executed large-star/small-star
+    rounds is appended to it — the observable for the O(log² n) worst-case
+    contract test. Convergence (including the final no-change round) always
+    costs one job per round via :func:`_checkpoint_with_fingerprint`.
     """
     ids = _node_ids(edges)
     # translate the edge list to 8-byte ids once; every iterated shuffle
@@ -108,14 +132,18 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         .join(ids.withColumnsRenamed({"uid": "dst", "nid": "_d"}), "dst")
         .select(F.col("_s").alias("src"), F.col("_d").alias("dst"))
     )
-    cur = _canonical(long_edges).localCheckpoint(eager=True)
-    prev_fp = _fingerprint(cur)
+    cur, prev_fp = _checkpoint_with_fingerprint(_canonical(long_edges))
+    rounds = 0
     for _ in range(max_rounds):
-        cur = _canonical(_small_star(_large_star(cur))).localCheckpoint(eager=True)
-        fp = _fingerprint(cur)
+        cur, fp = _checkpoint_with_fingerprint(
+            _canonical(_small_star(_large_star(cur)))
+        )
+        rounds += 1
         if fp == prev_fp:
             break
         prev_fp = fp
+    if round_log is not None:
+        round_log.append(rounds)
     # Fixpoint is a star forest rooted at each component's min; in canonical
     # (src < dst) order the root is src: members point at src, roots at self.
     members = cur.select(F.col("dst").alias("nid"), F.col("src").alias("comp")).union(

@@ -237,6 +237,50 @@ def lsh_topk(
     sets use :func:`ivf_topk`.
     """
     _check_query_bound(queries, max_query_rows, "lsh_topk")
+    base, qprobe = _lsh_base_and_probes(
+        embeddings, queries, bits, dim, seed, probes, tables, id_col, vec_col
+    )
+
+    scored = (
+        base.join(F.broadcast(qprobe), ["t", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _lsh_base_and_probes(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    bits: int,
+    dim: Optional[int],
+    seed: int,
+    probes: int,
+    tables: int,
+    id_col: str,
+    vec_col: str,
+):
+    """The shared LSH candidate-generation halves: (base, qprobe).
+
+    ``base`` = (neighbor_id, nvec, t, bucket) — one row per vector per
+    table; ``qprobe`` = (query_id, qvec, t, bucket) — one row per query per
+    probed bucket. Used by :func:`lsh_topk` (joins then scores) and
+    :func:`lsh_scan_stats` (joins without vectors to count the scanned set),
+    so the quality metric measures exactly the production candidate plan.
+    """
     if dim is None:
         first = embeddings.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
@@ -291,24 +335,75 @@ def lsh_topk(
         ).alias("tb"),
     ).select("query_id", "qvec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
 
-    scored = (
-        base.join(F.broadcast(qprobe), ["t", "bucket"])
+    return base, qprobe
+
+
+def _scan_stats(
+    cand_base: DataFrame, cand_probe: DataFrame, join_keys, embeddings, queries
+) -> DataFrame:
+    """Single-row (n_queries, n_base, n_candidates, scan_fraction).
+
+    ``n_candidates`` counts DISTINCT (query, neighbor) pairs whose exact
+    distance the approximate method would compute; ``scan_fraction`` is that
+    against the |Q|·(N-1) brute-force pair count — the driver-visible
+    evidence that the method scans a bounded slice, not the whole table.
+    """
+    n_cand = (
+        cand_base.join(F.broadcast(cand_probe), join_keys)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_col(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+        .withColumn("_j", F.lit(1))
+    )
+    totals = (
+        embeddings.agg(F.count(F.lit(1)).alias("n_base"))
+        .withColumn("_j", F.lit(1))
+        .join(
+            queries.agg(F.count(F.lit(1)).alias("n_queries")).withColumn(
+                "_j", F.lit(1)
+            ),
+            "_j",
         )
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.max("cos_sim").alias("cos_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    return n_cand.join(totals, "_j").select(
+        "n_queries",
+        "n_base",
+        "n_candidates",
+        (
+            F.col("n_candidates")
+            / (F.col("n_queries") * (F.col("n_base") - 1))
+        ).alias("scan_fraction"),
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+def lsh_scan_stats(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    bits: int = 8,
+    dim: Optional[int] = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 1,
+    tables: int = 1,
+) -> DataFrame:
+    """Scanned-candidate stats for :func:`lsh_topk` at the same parameters.
+
+    Rebuilds the identical deterministic bucket/probe tables (same BLAKE2
+    hyperplanes) and counts the distinct candidate pairs WITHOUT computing
+    cosines — so asserting ``scan_fraction ≤ bound`` measures the actual
+    production candidate plan, not a proxy.
+    """
+    base, qprobe = _lsh_base_and_probes(
+        embeddings, queries, bits, dim, seed, probes, tables, id_col, vec_col
+    )
+    return _scan_stats(
+        base.select("neighbor_id", "t", "bucket"),
+        qprobe.select("query_id", "t", "bucket"),
+        ["t", "bucket"],
+        embeddings,
+        queries,
     )
 
 
@@ -398,12 +493,8 @@ def ivf_topk(
     fraction of vectors in its probed inverted lists instead of the full
     table. Returns (query_id, neighbor_id, cos_sim, rank).
     """
-    cent = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
-    lists = _centroid_assign(embeddings, cent, id_col, vec_col, top=1).select(
-        F.col("vid").alias("neighbor_id"), F.col("vec").alias("nvec"), "cid"
-    )
-    probes = _centroid_assign(queries, cent, id_col, vec_col, top=nprobe).select(
-        F.col("vid").alias("query_id"), F.col("vec").alias("qvec"), "cid"
+    lists, probes = _ivf_lists_and_probes(
+        embeddings, queries, n_centroids, nprobe, iters, id_col, vec_col
     )
     # no broadcast hint on the probe side: ivf_topk is the large-|Q| path,
     # and a forced broadcast of 10^8 probe rows would OOM the driver. AQE
@@ -426,6 +517,58 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _ivf_lists_and_probes(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_centroids: int,
+    nprobe: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+):
+    """The shared IVF candidate-generation halves: (lists, probes).
+
+    ``lists`` = (neighbor_id, nvec, cid) — each base vector in its nearest
+    list; ``probes`` = (query_id, qvec, cid) — each query × its ``nprobe``
+    nearest lists. Used by :func:`ivf_topk` and :func:`ivf_scan_stats` so
+    both see the identical deterministic quantizer.
+    """
+    cent = ivf_build(embeddings, n_centroids, iters, id_col, vec_col)
+    lists = _centroid_assign(embeddings, cent, id_col, vec_col, top=1).select(
+        F.col("vid").alias("neighbor_id"), F.col("vec").alias("nvec"), "cid"
+    )
+    probes = _centroid_assign(queries, cent, id_col, vec_col, top=nprobe).select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("qvec"), "cid"
+    )
+    return lists, probes
+
+
+def ivf_scan_stats(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scanned-candidate stats for :func:`ivf_topk` at the same parameters.
+
+    Same contract as :func:`lsh_scan_stats`: counts the distinct candidate
+    pairs the probed inverted lists would score, without the cosine math.
+    """
+    lists, probes = _ivf_lists_and_probes(
+        embeddings, queries, n_centroids, nprobe, iters, id_col, vec_col
+    )
+    return _scan_stats(
+        lists.select("neighbor_id", "cid"),
+        probes.select("query_id", "cid"),
+        ["cid"],
+        embeddings,
+        queries,
     )
 
 

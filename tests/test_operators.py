@@ -465,6 +465,107 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert a == a2
 
 
+def test_clustered_ann_recall_and_scan_bounds(spark):
+    """On clustered (Gaussian-mixture) vectors — the shape of real
+    embeddings — both ANN methods must reach recall@10 ≥ 0.9 while scanning
+    ≤ 10% of the brute-force pair count, with the scan fraction measured
+    over the IDENTICAL candidate plan the top-k kernels execute."""
+    from pyspark.sql import functions as F
+
+    from addressit_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_scan_stats,
+        ivf_topk,
+        lsh_scan_stats,
+        lsh_topk,
+    )
+    from addressit_spark.sources.embeddings import synth_clustered_embeddings
+
+    import __spark_entry__ as entry
+
+    emb = synth_clustered_embeddings(spark, **entry.CLUSTERED_EMB).cache()
+    n = emb.count()
+    assert n == entry.CLUSTERED_EMB["n"]
+    # generation is partition-independent: same rows at a different layout
+    other = synth_clustered_embeddings(
+        spark, **{**entry.CLUSTERED_EMB, "partitions": 3}
+    )
+    assert (
+        emb.select("vec_id", "label").exceptAll(other.select("vec_id", "label")).count()
+        == 0
+    )
+
+    queries = emb.where(F.col("vec_id") < entry.CLUSTERED_EMB["n_clusters"])
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    # exact top-10 on clustered data is same-cluster (sanity of the synth)
+    ncl = entry.CLUSTERED_EMB["n_clusters"]
+    same = sum(1 for q, v in exact if q % ncl == v % ncl)
+    assert same / len(exact) > 0.99, same / len(exact)
+
+    for topk, stats, kw, skw in (
+        (ivf_topk, ivf_scan_stats, entry.CLUSTERED_IVF,
+         dict(n_centroids=entry.CLUSTERED_IVF["n_centroids"],
+              nprobe=entry.CLUSTERED_IVF["nprobe"])),
+        (lsh_topk, lsh_scan_stats, entry.CLUSTERED_LSH,
+         dict(bits=entry.CLUSTERED_LSH["bits"],
+              probes=entry.CLUSTERED_LSH["probes"],
+              tables=entry.CLUSTERED_LSH["tables"])),
+    ):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in topk(emb, queries, **kw).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= entry.CLUSTERED_RECALL_FLOOR, (topk.__name__, recall)
+        s = stats(emb, queries, **skw).collect()[0]
+        assert s["n_base"] == n and s["n_queries"] == ncl
+        assert 0 < s["n_candidates"] <= s["n_queries"] * (s["n_base"] - 1)
+        assert s["scan_fraction"] <= entry.CLUSTERED_SCAN_CAP, (
+            topk.__name__, s["scan_fraction"],
+        )
+    emb.unpersist()
+
+
+def test_labeled_dup_corpus_and_quality_floors(spark):
+    """The labeled near-dup generator is deterministic and partition-
+    independent, and the dedup_quality contract holds end-to-end."""
+    from pyspark.sql import functions as F
+
+    from addressit_spark.sources.labeled_dups import synth_labeled_dup_corpus
+
+    import __spark_entry__ as entry
+
+    docs = synth_labeled_dup_corpus(spark, 40, seed=13)
+    other = synth_labeled_dup_corpus(spark, 40, seed=13, partitions=3)
+    assert docs.exceptAll(other).count() == 0
+    rows = docs.collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r)
+    # variant 0 is the base; perturbed variants differ but stay close
+    for gid, grp in by_group.items():
+        base = next(r["text"] for r in grp if r["variant"] == 0)
+        for r in grp:
+            if r["variant"] == 0:
+                continue
+            assert r["text"] != base
+            bt, vt = set(base.split()), set(r["text"].split())
+            jac = len(bt & vt) / len(bt | vt)
+            assert jac > 0.8, (gid, jac)
+
+    # the full contract query returns all-true floors (the driver's oracle
+    # pins the same booleans; this guards locally at the same parameters)
+    out = entry.q_dedup_quality(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == 4
+    assert all(
+        r["precision_ok"] and r["recall_ok"] and r["tp_bounded"] for r in out
+    ), out
+    assert all(r["n_true_pairs"] == entry.DUP_QUALITY_TRUE_PAIRS for r in out)
+
+
 def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
     """A planted stop-shingle must not blow up candidates when capped.
 

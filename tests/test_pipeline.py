@@ -63,6 +63,32 @@ def test_connected_components_vs_union_find(spark, result):
     assert got == expected
 
 
+def test_cc_round_count_contract_on_path_graph(spark):
+    """Worst-case convergence contract: large-star/small-star must cluster a
+    PATH graph (the pathological long-diameter case; blocking-derived graphs
+    are near-cliques that converge in 2-4 rounds) within the published
+    O(log² n) bound — empirically log2(n)+1 rounds, asserted at +2 slack so
+    a kernel edit that degrades convergence fails loudly, including the
+    always-paid final no-change round."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    for n in (64, 512):
+        edges = spark.range(n - 1).select(
+            F.format_string("n%08d", F.col("id")).alias("src"),
+            F.format_string("n%08d", F.col("id") + 1).alias("dst"),
+        )
+        log = []
+        out = connected_components(edges, round_log=log)
+        assert out.select("component").distinct().count() == 1
+        assert out.count() == n
+        bound = math.ceil(math.log2(n)) + 2
+        assert log == [min(log[0], bound)], (
+            f"path n={n}: {log[0]} rounds exceeds bound {bound}"
+        )
+
+
 def test_pairwise_f1_at_least_099(spark, corpus, result):
     lp = labeled_pairs(result.pairs, truth_view(corpus))
     metrics = pairwise_f1(lp, result.clusters)
