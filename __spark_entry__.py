@@ -1082,6 +1082,14 @@ def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     block (consensus detectors → CC keep policy → hash split → token
     counts), and the DuckDB oracle composes the same pieces, so the whole
     end-to-end dataflow is value-checked as one query.
+
+    Driver-contract composition note: the three composed queries
+    (``dedup_consensus`` → ``dedup_keep_policy`` → this) each rebuild their
+    detector subtrees when the driver evaluates them independently — three
+    CC fixpoints across the trio (``reuse()`` pins the shingle tables only
+    WITHIN a query). That is the price of each entry being independently
+    oracle-checkable; a production pipeline materializes the consensus
+    table once and feeds both downstream stages from it.
     """
     d = _t(spark, sf_dir, "documents")
     dropped = (
