@@ -348,8 +348,11 @@ def _scan_stats(
     against the |Q|·(N-1) brute-force pair count — the driver-visible
     evidence that the method scans a bounded slice, not the whole table.
     """
+    # no forced broadcast: ivf_scan_stats inherits ivf_topk's large-|Q|
+    # posture (a forced broadcast of 10^8 probe rows would OOM the driver);
+    # AQE broadcasts a genuinely small probe side at runtime
     n_cand = (
-        cand_base.join(F.broadcast(cand_probe), join_keys)
+        cand_base.join(cand_probe, join_keys)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
