@@ -21,7 +21,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from addressit_spark.blocking import address_table
 from addressit_spark.cluster import cluster_members, connected_components
@@ -44,6 +45,27 @@ class PipelineResult:
     clusters: DataFrame
     dropped_blocks: DataFrame
     lineage: Dict[str, Dict[str, object]] = field(default_factory=dict)
+    pair_count_obs: Optional[Observation] = None
+
+    def candidate_pair_count(self) -> int:
+        """Match-count metric without a second pass over the pair volume.
+
+        Preference order: the snapshot lineage row count (pairs stage was
+        written to parquet), then the ``Observation`` collected on the same
+        execution that materialized the edges stage, then — only if the
+        fused plan never executed in this process (fully resumed run with
+        no pairs snapshot metrics) — an explicit ``count()``. At 10^12
+        pairs the first two are free; the fallback is a full pass and only
+        exists for resumed runs whose snapshots predate lineage metrics.
+        """
+        rows = self.lineage.get("pairs", {}).get("rows")
+        if isinstance(rows, int):
+            return rows
+        if self.pair_count_obs is not None and not self.lineage.get(
+            "edges", {}
+        ).get("resumed", False):
+            return int(self.pair_count_obs.get["n_pairs"])
+        return self.pairs.count()
 
 
 def run_pipeline(
@@ -105,6 +127,7 @@ def run_pipeline(
     )
 
     dropped_holder: Dict[str, DataFrame] = {}
+    obs_holder: Dict[str, Observation] = {}
 
     def _scored() -> DataFrame:
         # blocking + scoring fused: the 10^12-row salted shuffle carries
@@ -116,7 +139,12 @@ def run_pipeline(
             sims=sim_dims,
         )
         dropped_holder["dropped"] = dropped
-        return sc
+        # candidate-pair count rides the first execution of this plan (the
+        # edges materialization) as a CollectMetrics node — the match-count
+        # metric never costs a second pass over the pair volume
+        obs = Observation()
+        obs_holder["pairs"] = obs
+        return sc.observe(obs, F.count(F.lit(1)).alias("n_pairs"))
 
     score_fp = _fp(
         locale=locale,
@@ -177,4 +205,5 @@ def run_pipeline(
         clusters=clusters,
         dropped_blocks=dropped,
         lineage=store.lineage,
+        pair_count_obs=obs_holder.get("pairs"),
     )

@@ -750,6 +750,10 @@ every score is genuinely computed; input = deterministic corpus (seed 42)
 parsed to the addresses table once and read from parquet byte-identically
 by every configuration.
 
+The literal `spark-submit --py-files` deployment shape (full pipeline,
+package importable only from the shipped zip) is measured separately at the
+same two cluster sizes — see `BENCH/SUBMIT.md` (`scripts/submit_scaling.py`).
+
 ## Primary: 1 vs 4 executors (2 cores each) — the regime a real cluster lives in
 
 Every added executor on a real cluster brings its own DRAM bandwidth. This

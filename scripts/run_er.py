@@ -81,7 +81,9 @@ def main() -> None:
 
     metrics = {
         "addresses": res.addresses.count(),
-        "candidate_pairs": res.pairs.count(),
+        # collected via Observation on the edges materialization — never a
+        # second pass over the (10^12-scale) pair volume
+        "candidate_pairs": res.candidate_pair_count(),
         "match_edges": res.edges.count(),
         "clusters": res.clusters.select("component").distinct().count(),
         "dropped_blocks": res.dropped_blocks.count(),

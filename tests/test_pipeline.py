@@ -105,6 +105,29 @@ def test_no_dropped_blocks_at_test_scale(result):
     assert result.dropped_blocks.count() == 0
 
 
+def test_candidate_pair_count_via_observation(result):
+    """The match-count metric must equal an explicit count of the pair view
+    without re-running the fused plan: with no snapshot dir it comes from
+    the Observation collected on the edges materialization."""
+    assert result.lineage.get("pairs", {}).get("rows") is None
+    assert result.pair_count_obs is not None
+    assert result.candidate_pair_count() == result.pairs.count()
+
+
+def test_candidate_pair_count_snapshot_and_resume(spark, corpus, tmp_path):
+    """With a snapshot dir the metric reads the pairs stage lineage (fresh
+    AND resumed runs) — never a recount of the pair volume."""
+    ckpt = str(tmp_path / "ckpt")
+    docs = documents_view(corpus)
+    r1 = run_pipeline(spark, docs, checkpoint_dir=ckpt)
+    n = r1.pairs.count()
+    assert r1.lineage["pairs"]["rows"] == n
+    assert r1.candidate_pair_count() == n
+    r2 = run_pipeline(spark, docs, checkpoint_dir=ckpt)
+    assert r2.lineage["pairs"]["resumed"] is True
+    assert r2.candidate_pair_count() == n
+
+
 def test_checkpoint_resume(spark, corpus, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     docs = documents_view(corpus)
