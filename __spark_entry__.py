@@ -958,7 +958,11 @@ def q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # variants. Floors sit under the measured operating points — ngram 1.00/1.00,
 # minhash 1.00/0.92, simhash 1.00/0.54 (hamming ≤ 3 is a high-precision
 # low-recall point by design), consensus(≥2 votes) 1.00/0.95 — so they are
-# regression contracts, not aspirations. n_true_pairs is pinned: a generator
+# regression contracts, not aspirations. simhash_r8 is the same detector with
+# the radius knob opened to hamming ≤ 8 (9 pigeonhole bands of ~7 bits):
+# measured 1.00/0.98 here, demonstrating the radius→recall trade the
+# simhash_dup_pairs docstring describes; it does NOT vote in the consensus,
+# which stays at production parameters. n_true_pairs is pinned: a generator
 # drift also flips the driver value.
 DUP_QUALITY_GROUPS = 150
 DUP_QUALITY_SEED = 13
@@ -969,6 +973,7 @@ DUP_QUALITY_FLOORS = {
     "minhash": (0.99, 0.85),
     "ngram": (0.99, 0.95),
     "simhash": (0.99, 0.45),
+    "simhash_r8": (0.99, 0.90),
 }
 
 
@@ -1005,6 +1010,9 @@ def q_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("src").alias("n_votes"))
         .where(F.col("n_votes") >= 2)
     )
+    # added after the consensus union on purpose: the relaxed radius is a
+    # graded operating point, not a production voter
+    preds["simhash_r8"] = simhash_dup_pairs(docs, max_hamming=8, portable=True)
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_true_pairs")).withColumn(
         "_j", F.lit(1)
     )
@@ -2232,7 +2240,8 @@ def oracle_sql() -> dict[str, str]:
                    true AS recall_ok,
                    true AS tp_bounded
             FROM (SELECT 'consensus' AS detector UNION ALL SELECT 'minhash'
-                  UNION ALL SELECT 'ngram' UNION ALL SELECT 'simhash')
+                  UNION ALL SELECT 'ngram' UNION ALL SELECT 'simhash'
+                  UNION ALL SELECT 'simhash_r8')
             ORDER BY detector
         """,
         "minhash_engine_parity": """

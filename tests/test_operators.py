@@ -559,7 +559,7 @@ def test_labeled_dup_corpus_and_quality_floors(spark):
     # the full contract query returns all-true floors (the driver's oracle
     # pins the same booleans; this guards locally at the same parameters)
     out = entry.q_dedup_quality(spark, "/root/testdata/sf0.01").collect()
-    assert len(out) == 4
+    assert len(out) == 5
     assert all(
         r["precision_ok"] and r["recall_ok"] and r["tp_bounded"] for r in out
     ), out
