@@ -92,6 +92,64 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return ranked.where(F.col("_rn") == 1).drop("_h", "_rn")
 
 
+def choose_survivors(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "canonical_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware survivor per dup cluster → (doc_id, survivor_id, keep).
+
+    The min-id labeling the CC kernel emits (``dedup_keep_policy``) is the
+    canonical *identity*; a training pipeline usually wants to KEEP the
+    best-quality member of each cluster instead (longest / highest
+    quality-score document), which this selects. Deterministic under
+    parallelism: argmax of ``score_col`` with ties broken toward the
+    smallest ``id_col``, computed as one ``max(struct(score, -id))``
+    groupBy — map-side partial aggregation, a single shuffle on the
+    cluster key, no window sort. ``scores`` rows missing for a clustered
+    doc score as NULL and lose to any scored sibling (struct comparison
+    orders NULL lowest under ``max``); an all-NULL cluster falls back to
+    the min-id member.
+
+    At 10^12 docs this is the same shuffle the keep-policy CC already
+    paid (cluster key), so policy choice costs one extra agg, not a new
+    dataflow. Requires a numeric ``id_col`` (the CC kernel's long uids)
+    for the negation tie-break.
+    """
+    joined = clusters.select(id_col, cluster_col).join(
+        scores.select(id_col, score_col), id_col, "left"
+    )
+    best = (
+        joined.groupBy(cluster_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("_best"),
+            F.min(id_col).alias("_min_id"),
+        )
+        .select(
+            F.col(cluster_col),
+            F.coalesce(-F.col("_best.nid"), F.col("_min_id")).alias(
+                "survivor_id"
+            ),
+        )
+    )
+    return (
+        clusters.select(id_col, cluster_col)
+        .join(best, cluster_col)
+        .select(
+            F.col(id_col),
+            F.col("survivor_id"),
+            (F.col(id_col) == F.col("survivor_id")).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Word n-gram shingles + exact Jaccard
 # ---------------------------------------------------------------------------

@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from addressit_spark.operators.dedup import (
+    choose_survivors,
     minhash_dup_pairs,
     ngram_jaccard_pairs,
     simhash_dup_pairs,
@@ -564,6 +565,47 @@ def test_labeled_dup_corpus_and_quality_floors(spark):
         r["precision_ok"] and r["recall_ok"] and r["tp_bounded"] for r in out
     ), out
     assert all(r["n_true_pairs"] == entry.DUP_QUALITY_TRUE_PAIRS for r in out)
+
+
+def test_choose_survivors_quality_policy(spark):
+    """Argmax-quality survivor per cluster, deterministic tie-breaks,
+    NULL-score members lose, all-NULL clusters fall back to min id."""
+    clusters = spark.createDataFrame(
+        [
+            # cluster 1: clear quality winner (doc 12)
+            (10, 1), (11, 1), (12, 1),
+            # cluster 2: score tie between 20 and 22 -> min id 20 wins
+            (20, 2), (21, 2), (22, 2),
+            # cluster 3: one scored member beats an unscored sibling
+            (30, 3), (31, 3),
+            # cluster 4: no scores at all -> min id 40
+            (40, 4), (41, 4),
+        ],
+        "doc_id long, canonical_id long",
+    )
+    scores = spark.createDataFrame(
+        [(10, 0.1), (11, 0.5), (12, 0.9), (20, 0.7), (21, 0.2), (22, 0.7), (31, 0.3)],
+        "doc_id long, score double",
+    )
+    out = {
+        r["doc_id"]: (r["survivor_id"], r["keep"])
+        for r in choose_survivors(clusters, scores).collect()
+    }
+    assert len(out) == 10
+    assert out[12] == (12, True) and out[10] == (12, False)
+    assert out[20] == (20, True) and out[22] == (20, False)
+    assert out[31] == (31, True) and out[30] == (31, False)
+    assert out[40] == (40, True) and out[41] == (40, False)
+    # exactly one survivor per cluster
+    assert sum(1 for s, k in out.values() if k) == 4
+    # partition-independence: same result at a different parallelism
+    out2 = {
+        r["doc_id"]: (r["survivor_id"], r["keep"])
+        for r in choose_survivors(
+            clusters.repartition(7), scores.repartition(3)
+        ).collect()
+    }
+    assert out == out2
 
 
 def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
