@@ -50,6 +50,12 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    # Hub-skew posture at mega-components (a 10^9-member boilerplate
+    # cluster contracts toward one hot root): the min-neighbor groupBy
+    # collapses hot keys map-side (partial agg — one row per key per
+    # partition reaches the shuffle), and the star join against `mins`
+    # is unique-per-key on the build side, exactly the shape AQE's
+    # skewJoin splits at runtime (enabled in session.py / run_er.py).
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = und.groupBy("src").agg(F.min("dst").alias("min_nbr"))
     mins = mins.select(
