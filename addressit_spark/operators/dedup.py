@@ -106,42 +106,34 @@ def choose_survivors(
     best-quality member of each cluster instead (longest / highest
     quality-score document), which this selects. Deterministic under
     parallelism: argmax of ``score_col`` with ties broken toward the
-    smallest ``id_col``, computed as one ``max(struct(score, -id))``
-    groupBy — map-side partial aggregation, a single shuffle on the
-    cluster key, no window sort. ``scores`` rows missing for a clustered
-    doc score as NULL and lose to any scored sibling (struct comparison
-    orders NULL lowest under ``max``); an all-NULL cluster falls back to
-    the min-id member.
+    smallest ``id_col`` (any orderable type — the CC kernel's uid strings
+    included). ``scores`` rows missing for a clustered doc score as NULL
+    and lose to any scored sibling; an all-NULL cluster falls back to its
+    min-id member (``max`` ignores NULLs, and the null-safe filter then
+    admits exactly the unscored members).
 
-    At 10^12 docs this is the same shuffle the keep-policy CC already
-    paid (cluster key), so policy choice costs one extra agg, not a new
-    dataflow. Requires a numeric ``id_col`` (the CC kernel's long uids)
-    for the negation tie-break.
+    Two aggregations, but both shuffle on the SAME cluster key the
+    keep-policy CC already paid — co-partitioned, so Catalyst reuses the
+    exchange; map-side partials, no window sort, no new dataflow at
+    10^12 docs.
     """
     joined = clusters.select(id_col, cluster_col).join(
         scores.select(id_col, score_col), id_col, "left"
     )
-    best = (
-        joined.groupBy(cluster_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.col(score_col).alias("s"),
-                    (-F.col(id_col)).alias("nid"),
-                )
-            ).alias("_best"),
-            F.min(id_col).alias("_min_id"),
-        )
-        .select(
-            F.col(cluster_col),
-            F.coalesce(-F.col("_best.nid"), F.col("_min_id")).alias(
-                "survivor_id"
-            ),
-        )
+    best_score = joined.groupBy(cluster_col).agg(
+        F.max(score_col).alias("_best_s")
+    )
+    survivors = (
+        joined.join(best_score, cluster_col)
+        # null-safe: in an all-NULL cluster _best_s is NULL and this
+        # admits every (unscored) member; otherwise only argmax members
+        .where(F.col(score_col).eqNullSafe(F.col("_best_s")))
+        .groupBy(cluster_col)
+        .agg(F.min(id_col).alias("survivor_id"))
     )
     return (
         clusters.select(id_col, cluster_col)
-        .join(best, cluster_col)
+        .join(survivors, cluster_col)
         .select(
             F.col(id_col),
             F.col("survivor_id"),

@@ -606,6 +606,20 @@ def test_choose_survivors_quality_policy(spark):
         ).collect()
     }
     assert out == out2
+    # string ids (the CC kernel's uid labels) work identically
+    sc = spark.createDataFrame(
+        [("g1v0", "g1v0"), ("g1v1", "g1v0"), ("g1v2", "g1v0")],
+        "doc_id string, canonical_id string",
+    )
+    ss = spark.createDataFrame(
+        [("g1v0", 0.2), ("g1v1", 0.8), ("g1v2", 0.8)], "doc_id string, score double"
+    )
+    souts = {
+        r["doc_id"]: (r["survivor_id"], r["keep"])
+        for r in choose_survivors(sc, ss).collect()
+    }
+    assert souts["g1v1"] == ("g1v1", True)  # tie at 0.8 -> min string id
+    assert souts["g1v0"] == ("g1v1", False) and souts["g1v2"] == ("g1v1", False)
 
 
 def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):

@@ -278,3 +278,61 @@ def test_isolated_nodes_are_singletons(spark):
         res.clusters.groupBy("component").count().where(F.col("count") == 1).count()
     )
     assert singles > 0  # 1-variant entities exist by construction
+
+
+def test_dedup_chain_quality_survivors(spark):
+    """The run_dedup.py composition: detectors -> consensus -> CC ->
+    quality-aware survivors. Each cluster keeps exactly one member, and
+    that member's quality score is the cluster max (ties -> min doc_id)."""
+    from addressit_spark.cluster import connected_components
+    from addressit_spark.operators.dedup import (
+        choose_survivors,
+        minhash_dup_pairs,
+        ngram_jaccard_pairs,
+        simhash_dup_pairs,
+    )
+    from addressit_spark.operators.text import quality_score
+    from addressit_spark.sources.labeled_dups import synth_labeled_dup_corpus
+
+    docs = synth_labeled_dup_corpus(spark, 60, seed=13)
+    detectors = [
+        ngram_jaccard_pairs(docs, n=3, min_jaccard=0.2),
+        minhash_dup_pairs(docs, k=16, bands=4, n=3, min_est_jaccard=0.5, portable=True),
+        simhash_dup_pairs(docs, max_hamming=3, portable=True),
+    ]
+    tagged = None
+    for i, p in enumerate(detectors):
+        p = p.select("id_a", "id_b").withColumn("src", F.lit(str(i)))
+        tagged = p if tagged is None else tagged.unionByName(p)
+    consensus = (
+        tagged.groupBy("id_a", "id_b")
+        .agg(F.countDistinct("src").alias("n_votes"))
+        .where(F.col("n_votes") >= 2)
+    )
+    edges = consensus.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    clusters = connected_components(edges).select(
+        F.col("uid").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+    scores = quality_score(docs).select(
+        "doc_id", F.col("quality_score").alias("score")
+    )
+    decisions = choose_survivors(clusters, scores)
+
+    rows = decisions.join(scores, "doc_id", "left").join(
+        clusters, "doc_id"
+    ).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["canonical_id"], []).append(r)
+    assert by_cluster  # consensus found duplicate clusters at these params
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1, (cid, members)
+        k = keepers[0]
+        best = max(r["score"] for r in members)
+        assert k["score"] == best
+        # tie-break: min doc_id among the argmax members
+        assert k["doc_id"] == min(
+            r["doc_id"] for r in members if r["score"] == best
+        )
+        assert all(r["survivor_id"] == k["doc_id"] for r in members)
