@@ -13,8 +13,9 @@ Cluster usage::
     spark-submit --master <cluster> \
         --py-files /tmp/addressit_spark.zip \
         scripts/run_dedup.py \
-        --input  hdfs://.../documents   # parquet: (doc_id, text[, lang])
-        --output hdfs://.../dedup_out   # decisions + manifest + metrics.json
+        --input  hdfs://.../documents     # parquet: (doc_id, text[, lang])
+        --output hdfs://.../dedup_out     # decisions + manifest + metrics.json
+        --checkpoint-dir hdfs://.../ckpt  # resume point (per-stage snapshots)
 
 Local smoke (deterministic labeled corpus, no external data)::
 
@@ -46,6 +47,8 @@ def main() -> None:
         "--synth-groups", type=int, help="synthesize a labeled near-dup corpus of N groups"
     )
     ap.add_argument("--output", required=True, help="output dir (decisions + manifest + metrics.json)")
+    ap.add_argument("--checkpoint-dir", default=None, help="per-stage snapshot dir (enables resume)")
+    ap.add_argument("--no-resume", action="store_true", help="recompute even if snapshots exist")
     ap.add_argument("--min-votes", type=int, default=2, help="detectors that must agree (consensus)")
     ap.add_argument(
         "--policy",
@@ -68,6 +71,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    from addressit_spark.checkpoint import StageStore
     from addressit_spark.cluster import connected_components
     from addressit_spark.operators.dedup import (
         choose_survivors,
@@ -86,12 +90,32 @@ def main() -> None:
     t0 = time.monotonic()
     if args.synth_groups:
         docs = synth_labeled_dup_corpus(spark, args.synth_groups, seed=args.seed)
+        fp_base = "synth:%d:%d" % (args.synth_groups, args.seed)
     else:
         docs = spark.read.parquet(args.input)
+        fp_base = "input:%s" % args.input
     if "lang" not in docs.columns:
         docs = docs.withColumn("lang", F.lit("unknown"))
     docs = docs.select("doc_id", "text", "lang").localCheckpoint(eager=True)
     n_docs = docs.count()
+
+    # per-stage snapshots: same resume contract as run_er.py — a stage whose
+    # fingerprint (input identity + the params that shape its output) matches
+    # is read back instead of recomputed
+    store = StageStore(spark, args.checkpoint_dir, resume=not args.no_resume)
+
+    def _fp(**params: object) -> str:
+        return fp_base + "|" + ",".join(
+            "%s=%s" % (k, v) for k, v in sorted(params.items())
+        )
+
+    det_fp = _fp(
+        ngram=args.ngram_jaccard,
+        minhash=args.minhash_est,
+        simhash=args.simhash_radius,
+        cap=args.max_shingle_df,
+        min_votes=args.min_votes,
+    )
 
     # -- detectors (engine operating points; each emits canonical id_a<id_b).
     # The fast engine hash paths (xxhash64 buckets, Arrow simhash kernel)
@@ -124,33 +148,48 @@ def main() -> None:
         p = p.select("id_a", "id_b").withColumn("src", F.lit(name))
         tagged = p if tagged is None else tagged.unionByName(p)
 
-    # -- consensus: a pair is a duplicate when >= min_votes detectors agree
-    consensus = (
-        tagged.groupBy("id_a", "id_b")
-        .agg(F.countDistinct("src").alias("n_votes"))
-        .where(F.col("n_votes") >= args.min_votes)
-        .localCheckpoint(eager=True)  # materialize ONCE; both CC and metrics read it
-    )
+    # -- consensus: a pair is a duplicate when >= min_votes detectors agree.
+    # Materialized ONCE (snapshot or localCheckpoint); CC, metrics, and a
+    # resumed run all read the pinned table instead of re-running detectors.
+    def _consensus():
+        return (
+            tagged.groupBy("id_a", "id_b")
+            .agg(F.countDistinct("src").alias("n_votes"))
+            .where(F.col("n_votes") >= args.min_votes)
+        )
+
+    consensus = store.run("consensus", _consensus, input_fingerprint=det_fp)
     n_pairs = consensus.count()
 
     # -- transitive clusters through the flagship CC kernel
-    edges = consensus.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rounds: list = []
-    clusters = connected_components(edges, round_log=rounds).select(
-        F.col("uid").alias("doc_id"), F.col("component").alias("canonical_id")
-    )
+
+    def _clusters():
+        edges = consensus.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        return connected_components(edges, round_log=rounds).select(
+            F.col("uid").alias("doc_id"), F.col("component").alias("canonical_id")
+        )
+
+    clusters = store.run("clusters", _clusters, input_fingerprint=det_fp)
 
     # -- survivor policy
-    if args.policy == "quality":
-        scores = quality_score(docs).select("doc_id", F.col("quality_score").alias("score"))
-        decisions = choose_survivors(clusters, scores)
-    else:
-        decisions = clusters.select(
+    def _decisions():
+        if args.policy == "quality":
+            scores = quality_score(docs).select(
+                "doc_id", F.col("quality_score").alias("score")
+            )
+            return choose_survivors(clusters, scores)
+        return clusters.select(
             "doc_id",
             F.col("canonical_id").alias("survivor_id"),
             (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
         )
-    decisions = decisions.localCheckpoint(eager=True)
+
+    decisions = store.run(
+        "decisions", _decisions, input_fingerprint=det_fp + "|policy=" + args.policy
+    )
     n_clustered = decisions.count()
     n_dropped = decisions.where(~F.col("keep")).count()
 
@@ -169,22 +208,25 @@ def main() -> None:
     manifest.write.mode("overwrite").parquet(os.path.join(args.output, "manifest"))
     manifest_rows = [r.asDict() for r in manifest.collect()]  # small: splits × langs
 
+    store.write_lineage()
     metrics = {
         "n_docs": n_docs,
         "consensus_pairs": n_pairs,
         "clustered_docs": n_clustered,
         "dropped_docs": n_dropped,
         "kept_docs": n_docs - n_dropped,
-        "cc_rounds": rounds[0] if rounds else 0,
+        # None on a resumed run: the CC fixpoint never executed here
+        "cc_rounds": rounds[0] if rounds else None,
         "policy": args.policy,
         "min_votes": args.min_votes,
         "manifest": manifest_rows,
+        "lineage": store.lineage,
         "wall_sec": round(time.monotonic() - t0, 2),
     }
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=1)
-    print(json.dumps(metrics))
+        json.dump(metrics, f, indent=1, sort_keys=True, default=str)
+    print(json.dumps({k: v for k, v in metrics.items() if k != "lineage"}, default=str))
     spark.stop()
 
 
