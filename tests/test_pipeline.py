@@ -336,3 +336,45 @@ def test_dedup_chain_quality_survivors(spark):
             r["doc_id"] for r in members if r["score"] == best
         )
         assert all(r["survivor_id"] == k["doc_id"] for r in members)
+
+
+def test_run_dedup_cli_resume_contract(tmp_path):
+    """scripts/run_dedup.py: fresh run, full resume with identical counts,
+    and policy-change fingerprint invalidation of ONLY the decisions stage."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(*extra):
+        cmd = [
+            sys.executable, "scripts/run_dedup.py",
+            "--synth-groups", "60", "--output", out,
+            "--checkpoint-dir", ckpt, *extra,
+        ]
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=420, cwd="/root/repo"
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        with open(out + "/metrics.json") as fh:
+            return json.load(fh)
+
+    m1 = run()
+    assert m1["n_docs"] > 0 and m1["consensus_pairs"] > 0
+    assert m1["cc_rounds"] is not None
+    assert all(not v["resumed"] for v in m1["lineage"].values())
+    # one keeper per cluster: docs never exceed their cluster count in drops
+    assert m1["kept_docs"] == m1["n_docs"] - m1["dropped_docs"]
+
+    m2 = run()
+    assert all(v["resumed"] for v in m2["lineage"].values())
+    assert m2["cc_rounds"] is None  # fixpoint never re-executed
+    for k in ("consensus_pairs", "clustered_docs", "dropped_docs", "kept_docs"):
+        assert m2[k] == m1[k], k
+
+    m3 = run("--policy", "min_id")
+    assert m3["lineage"]["consensus"]["resumed"]
+    assert m3["lineage"]["clusters"]["resumed"]
+    assert not m3["lineage"]["decisions"]["resumed"]  # fingerprint changed
