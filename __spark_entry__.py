@@ -27,6 +27,7 @@ from addressit_spark.cluster import connected_components
 from addressit_spark.evaluation import bcubed, labeled_pairs, pairwise_f1
 from addressit_spark.operators.dedup import (
     _perm_params,
+    choose_survivors,
     exact_dup_groups,
     minhash_dup_pairs,
     ngram_jaccard_pairs,
@@ -1064,17 +1065,38 @@ def q_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeling IS the canonical choice (component == min uid after the
     relabel pass), so each clustered doc gets ``canonical_id`` and a
     ``keep`` flag — the table a training pipeline anti-joins against the
-    corpus. Oracled end-to-end: consensus composition + recursive-CTE
-    transitive closure in DuckDB.
+    corpus. Both survivor policies run_dedup.py ships are emitted and
+    value-checked: the min-id canonical (``keep``) and the quality-aware
+    ``choose_survivors`` argmax (``quality_survivor_id``/``keep_quality``).
+    Oracled end-to-end: consensus composition + recursive-CTE transitive
+    closure + an SQL replay of the argmax-with-min-id-ties selection over
+    the (independently green) doc_quality score expression.
     """
     pairs = q_dedup_consensus(spark, sf_dir).where(F.col("n_signals") >= 2)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    clusters = connected_components(edges).select(
+        F.col("uid").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+    # quality-aware alternative survivor (choose_survivors), value-oracled:
+    # argmax quality_score per cluster, ties -> min doc_id — the policy
+    # run_dedup.py ships; the oracle replays the same argmax in SQL over
+    # the doc_quality oracle's (green) per-doc score expression
+    scores = quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("quality_score").alias("score")
+    )
+    qs = choose_survivors(clusters, scores).select(
+        "doc_id", F.col("survivor_id").alias("quality_survivor_id")
+    )
     return (
-        connected_components(edges)
+        clusters.join(qs, "doc_id")
         .select(
-            F.col("uid").alias("doc_id"),
-            F.col("component").alias("canonical_id"),
-            (F.col("uid") == F.col("component")).alias("keep"),
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+            "quality_survivor_id",
+            (F.col("doc_id") == F.col("quality_survivor_id")).alias(
+                "keep_quality"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -2284,10 +2306,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS node, dst AS r FROM und
             UNION
             SELECT u.src AS node, reach.r FROM und u JOIN reach ON u.dst = reach.node)
-        SELECT node AS doc_id,
-               least(node, min(r)) AS canonical_id,
-               node = least(node, min(r)) AS keep
-        FROM reach GROUP BY node ORDER BY doc_id
+        ,
+        cl AS (
+            SELECT node AS doc_id, least(node, min(r)) AS canonical_id
+            FROM reach GROUP BY node),
+        -- per-doc quality score: the same expression the green doc_quality
+        -- oracle uses, replayed per doc_id
+        ts AS (
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tok,
+                   CASE WHEN len({_TOKENS}) > 0 THEN
+                      round(list_sum(list_transform({_TOKENS}, t -> len(t)))
+                            * 1.0 / len({_TOKENS}), 4)
+                   ELSE 0.0 END AS avg_token_len,
+                   CASE WHEN len({_TOKENS}) > 0 THEN
+                      round(len(list_filter({_TOKENS},
+                            t -> list_contains([{_STOP_SQL}], lower(t))))
+                            * 1.0 / len({_TOKENS}), 4)
+                   ELSE 0.0 END AS stopword_ratio
+            FROM documents),
+        q AS (
+            SELECT doc_id,
+                   round((
+                     (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) +
+                     (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+                     (CASE WHEN stopword_ratio >= 0.02 THEN 1.0 ELSE 0.0 END)
+                   ) / 3.0, 4) AS score
+            FROM ts),
+        m AS (
+            SELECT cl.doc_id, cl.canonical_id, q.score
+            FROM cl LEFT JOIN q ON cl.doc_id = q.doc_id),
+        best AS (
+            SELECT canonical_id, max(score) AS bs FROM m GROUP BY canonical_id),
+        surv AS (
+            SELECT m.canonical_id, min(m.doc_id) AS quality_survivor_id
+            FROM m JOIN best ON m.canonical_id = best.canonical_id
+                AND m.score IS NOT DISTINCT FROM best.bs
+            GROUP BY m.canonical_id)
+        SELECT m.doc_id,
+               m.canonical_id,
+               m.doc_id = m.canonical_id AS keep,
+               surv.quality_survivor_id,
+               m.doc_id = surv.quality_survivor_id AS keep_quality
+        FROM m JOIN surv ON m.canonical_id = surv.canonical_id
+        ORDER BY doc_id
     """
     # capstone manifest: survivors of the keep policy, hash-split (same
     # thresholds as doc_split_counts), whitespace-token totals per cell
