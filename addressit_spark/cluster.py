@@ -14,7 +14,14 @@ Each round materializes via ``localCheckpoint`` to truncate lineage (the
 iterative self-join would otherwise stack an exponential plan), and
 convergence is a count+checksum fixpoint over the canonicalized edge set,
 read as ``observe`` metrics from the SAME checkpoint job — one job per
-round, no second aggregation pass, no driver-side graph state.
+round, no second aggregation pass, no driver-side graph state. The
+iteration's fixpoint is exactly a min-rooted star forest, and that shape
+is directly testable with one cheap degree aggregation (:func:`_is_star_
+forest`): when a round leaves the edge COUNT unchanged (the observe metric
+we already have), the kernel runs the shape test and stops immediately on
+success — saving the full O(E) confirmation round (≈5 exchanges) that the
+checksum fixpoint would otherwise pay, at the cost of a 1-shuffle degree
+check; rounds whose count still shrinks never pay the check.
 
 The iterated rounds run on join-assigned 8-byte long node ids, not the span
 uid strings: a ~40-byte uid would otherwise ride every one of the O(log n)
@@ -98,6 +105,30 @@ def _checkpoint_with_fingerprint(edges: DataFrame):
     return ck, (m["n"], m["checksum"])
 
 
+def _is_star_forest(edges: DataFrame) -> bool:
+    """True iff the canonical edge set is a min-rooted star forest — the
+    exact fixpoint of the large-star/small-star iteration.
+
+    In canonical (src < dst) form a min-rooted star forest is precisely:
+    every node is EITHER a hub (appears only as src) or a leaf with exactly
+    one edge (appears exactly once, as dst). Source/destination
+    disjointness alone is NOT sufficient — e.g. {(1,3),(2,3)} has disjoint
+    src/dst sets but is a path, not a star (node 3 is a leaf twice) — so
+    the check also requires dst-uniqueness. One union (map-side) + one
+    groupBy shuffle + isEmpty: ~a fifth of a full round's exchange count.
+    """
+    stats = (
+        edges.select(F.col("dst").alias("node"), F.lit(1).alias("d"))
+        .unionAll(edges.select(F.col("src").alias("node"), F.lit(0).alias("d")))
+        .groupBy("node")
+        .agg(F.sum("d").alias("d"), F.count(F.lit(1)).alias("c"))
+    )
+    violations = stats.where(
+        (F.col("d") > 1) | ((F.col("d") >= 1) & (F.col("c") > F.col("d")))
+    )
+    return violations.isEmpty()
+
+
 def _node_ids(edges: DataFrame) -> DataFrame:
     """Dim table (uid:string, nid:long) over every node in the edge set.
 
@@ -127,8 +158,10 @@ def connected_components(
 
     ``round_log`` (optional): the number of executed large-star/small-star
     rounds is appended to it — the observable for the O(log² n) worst-case
-    contract test. Convergence (including the final no-change round) always
-    costs one job per round via :func:`_checkpoint_with_fingerprint`.
+    contract test. Each round costs one job via
+    :func:`_checkpoint_with_fingerprint`; once a round leaves the edge
+    count unchanged, the star-forest shape test (:func:`_is_star_forest`)
+    replaces the full confirmation round the checksum fixpoint would pay.
     """
     ids = _node_ids(edges)
     # translate the edge list to 8-byte ids once; every iterated shuffle
@@ -147,7 +180,11 @@ def connected_components(
         rounds += 1
         if fp == prev_fp:
             break
+        count_stable = fp[0] == prev_fp[0]
         prev_fp = fp
+        if count_stable and _is_star_forest(cur):
+            # exact fixpoint shape reached: skip the confirmation round
+            break
     if round_log is not None:
         round_log.append(rounds)
     # Fixpoint is a star forest rooted at each component's min; in canonical

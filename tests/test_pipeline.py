@@ -89,6 +89,25 @@ def test_cc_round_count_contract_on_path_graph(spark):
         )
 
 
+def test_star_forest_check_rejects_disjoint_path(spark):
+    """The early-stop shape test must NOT fire on src/dst-disjoint sets that
+    are not star forests: {(1,3),(2,3)} has disjoint src/dst columns but is
+    a path through node 3 (a leaf twice), and {(1,2),(2,3)} is a chain.
+    Both must still converge to one component through extra rounds."""
+    from addressit_spark.cluster import _is_star_forest
+
+    path = spark.createDataFrame([("a", "c"), ("b", "c")], ["src", "dst"])
+    assert not _is_star_forest(path)
+    chain = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    assert not _is_star_forest(chain)
+    star = spark.createDataFrame([("a", "b"), ("a", "c")], ["src", "dst"])
+    assert _is_star_forest(star)
+    # end-to-end: the non-star inputs still cluster correctly
+    for df in (path, chain):
+        out = {r["uid"]: r["component"] for r in connected_components(df).collect()}
+        assert out == {"a": "a", "b": "a", "c": "a"}
+
+
 def test_pairwise_f1_at_least_099(spark, corpus, result):
     lp = labeled_pairs(result.pairs, truth_view(corpus))
     metrics = pairwise_f1(lp, result.clusters)
