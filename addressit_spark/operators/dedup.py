@@ -112,10 +112,15 @@ def choose_survivors(
     min-id member (``max`` ignores NULLs, and the null-safe filter then
     admits exactly the unscored members).
 
-    Two aggregations, but both shuffle on the SAME cluster key the
-    keep-policy CC already paid — co-partitioned, so Catalyst reuses the
-    exchange; map-side partials, no window sort, no new dataflow at
-    10^12 docs.
+    Aggregation-only dataflow — no window sort, so a 10^9-member dup
+    cluster never has to sort inside one task. The executed plan (pinned
+    in ``tests/test_plans.py``) is skew-friendly twice over: both argmax
+    aggregations run map-side partials (one row per cluster per partition
+    reaches each exchange), and Catalyst folds the ``eqNullSafe`` argmax
+    filter INTO the best-score join's keys — a hot cluster's members are
+    matched on (score, cluster), not fanned through a single
+    cluster-keyed partition. The post-filter ``groupBy(cluster)`` then
+    pays one more (tiny: argmax members only) exchange.
     """
     joined = clusters.select(id_col, cluster_col).join(
         scores.select(id_col, score_col), id_col, "left"

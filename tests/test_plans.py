@@ -97,6 +97,55 @@ def test_user_sessions_single_event_exchange(spark):
     assert plan.count("Exchange hashpartitioning") <= 2  # agg + final sort only
 
 
+def test_minhash_band_join_stays_sort_merge(spark):
+    """The table-sized MinHash band self-join must stay SortMergeJoin.
+
+    ``minhash_dup_pairs`` pins hint("merge") (dedup.py) because a stale
+    size estimate could otherwise broadcast a table-sized side — the
+    classic 100 TB OOM. Guard: no BroadcastHashJoin anywhere in the plan
+    (every join in this pipeline is table × table)."""
+    from addressit_spark.operators.dedup import minhash_dup_pairs
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    full = spark._jvm.PythonSQLUtils.explainString(
+        minhash_dup_pairs(docs)._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in full
+    assert "BroadcastHashJoin" not in full, full[:2000]
+
+
+def test_choose_survivors_skew_friendly_plan(spark):
+    """The survivor argmax must plan as aggregations, never a window sort,
+    and the eqNullSafe argmax filter must fold into the best-score join's
+    keys (so a mega-cluster's members match on (score, cluster) instead of
+    fanning through one cluster-keyed partition). Broadcast is disabled
+    while planning so the asserted shape is the at-scale one."""
+    from pyspark.sql import functions as F
+
+    from addressit_spark.operators.dedup import choose_survivors
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    clusters = docs.select("doc_id", (F.col("doc_id") % 100).alias("canonical_id"))
+    scores = docs.select("doc_id", F.length("text").cast("double").alias("score"))
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(choose_survivors(clusters, scores))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "Window" not in plan  # argmax via aggregation, not row_number
+    assert "partial_max" in plan and "partial_min" in plan  # map-side combine
+    # the argmax equality rides the join keys: some exchange partitions on
+    # score alongside the cluster key
+    score_keyed = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "score" in ln and "canonical_id" in ln
+    ]
+    assert score_keyed, plan[:3000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_parse_stage_is_arrow_eval(spark):
     """The parse UDF must plan as ArrowEvalPython (vectorized), never
     BatchEvalPython (row-at-a-time pickling)."""
