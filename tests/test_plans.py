@@ -146,6 +146,38 @@ def test_choose_survivors_skew_friendly_plan(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_fused_scorer_pins_expanding_joins(spark):
+    """The fused blocking+scoring plan (the 10^12-pair hot path) keeps its
+    three hint("merge")-pinned table×table joins as SortMergeJoin — the
+    salted pair expansion and the two sim-dim surface crosses — while the
+    designed broadcasts (8-byte-keyed sim lookups, block-stats sides) may
+    plan as BroadcastHashJoin. No cartesian/nested-loop, no row-at-a-time
+    Python anywhere."""
+    from addressit_spark.blocking import address_table
+    from addressit_spark.parse_stage import parse_spans
+    from addressit_spark.scoring import score_pairs_fused
+    from addressit_spark.sources.corpus import documents_view, synth_corpus
+
+    addrs = address_table(parse_spans(documents_view(synth_corpus(spark, 300, seed=42))))
+    scored, _dropped = score_pairs_fused(addrs)
+    plan = _plan(scored)
+    assert plan.count("SortMergeJoin") >= 3, plan[:2000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_embedding_near_dup_bucket_join_stays_smj(spark):
+    """The LSH-bucket self-join of the full signature table must never be
+    broadcast (similarity.py pins hint("merge")) — both sides are
+    table-sized at scale."""
+    from addressit_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    plan = _plan(embedding_near_dup_pairs(emb))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+
 def test_parse_stage_is_arrow_eval(spark):
     """The parse UDF must plan as ArrowEvalPython (vectorized), never
     BatchEvalPython (row-at-a-time pickling)."""
