@@ -132,6 +132,12 @@ def main() -> None:
         d_4 = runs[big][4][t]["pipeline_sec"] - runs[small][4][t]["pipeline_sec"]
         eff_trials.append(round(d_n / (4 * d_4), 4))
     eff_marginal = sorted(eff_trials)[len(eff_trials) // 2]
+    # Best-of marginal: deltas of the per-level best times — the same
+    # best-of the table reports. Noisy-neighbor interference only ever
+    # slows a trial down (never speeds it up), so best-of is the
+    # least-biased point estimate each level admits.
+    eff_marginal_best = round((best(big, 1) - best(small, 1))
+                              / (4 * (best(big, 4) - best(small, 4))), 4)
     report = {
         "metric": "spark-submit --py-files deployment proof (full ER pipeline)",
         "sizes": SIZES,
@@ -141,6 +147,7 @@ def main() -> None:
         "efficiency_avg": eff_avg,
         "efficiency_marginal": eff_marginal,
         "efficiency_marginal_trials": eff_trials,
+        "efficiency_marginal_best": eff_marginal_best,
         "runs": runs,
     }
     with open(os.path.join(REPO, "BENCH", "submit_r05.json"), "w") as fh:
@@ -183,6 +190,10 @@ def main() -> None:
         f"within each interleaved trial): median {eff_marginal}, per-trial "
         f"{eff_trials}** — fixed per-job cost cancelled, the rate that "
         f"governs production scale.",
+        f"* **Best-of marginal efficiency (deltas of the per-level best "
+        f"times, matching the table's best-of columns): "
+        f"{eff_marginal_best}** — host interference is one-sided (it only "
+        f"slows runs), so the best-of deltas are the cleanest estimate.",
         "* Output counts (addresses, candidate pairs, match edges, clusters)",
         "  asserted equal across cluster sizes — parallelism does not change",
         "  the answer.",
