@@ -192,6 +192,65 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", ngram_n: int = 3
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021 §A1.1).
+
+    Adds two columns used to filter boilerplate/spammy training documents:
+
+    - ``dup_line_frac`` — fraction of non-empty (trimmed) lines that are
+      repeats of an earlier line: ``(n_lines - n_distinct_lines) / n_lines``.
+    - ``dup_ngram_frac`` — fraction of lowercased token ``ngram_n``-grams
+      that are repeats: ``(n_grams - n_distinct_grams) / n_grams``.
+
+    Both are 0.0 for documents too short to have the unit (no non-empty
+    lines / fewer than ``ngram_n`` tokens). Pure column expressions — the
+    n-grams are built with ``transform(sequence(...), slice)`` entirely
+    JVM-side, so the operator stays inside whole-stage codegen and
+    per-document cost is linear in document length: it parallelizes
+    embarrassingly (no shuffle, no UDF) at any corpus size.
+    """
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    toks = F.transform(tokens_col(col), lambda t: F.lower(t))
+    n_toks = F.size(toks)
+    # sequence() with stop < start counts DOWN in Spark, so the >= ngram_n
+    # guard is load-bearing, not just a divide-by-zero shield.
+    grams = F.transform(
+        F.sequence(F.lit(1), n_toks - F.lit(ngram_n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, ngram_n), " "),
+    )
+    n_grams = F.size(grams)
+    return (
+        df.withColumn(
+            "dup_line_frac",
+            F.when(
+                n_lines > 0,
+                F.round(
+                    (n_lines - F.size(F.array_distinct(lines))).cast("double")
+                    / n_lines,
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_ngram_frac",
+            F.when(
+                n_toks >= ngram_n,
+                F.round(
+                    (n_grams - F.size(F.array_distinct(grams))).cast("double")
+                    / n_grams,
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -970,3 +970,88 @@ def test_extract_frames_golden_and_plan_parity(spark):
     ).collect()
     assert n_plan == len(got) > 0
     assert all(r["n"] == r["width"] * r["height"] * 3 // 2 for r in got)
+
+
+def test_repetition_stats_semantics_and_duckdb_parity(spark):
+    """Gopher-style repetition signals: scalar reference, engine parity, plan.
+
+    Three checks: (1) handcrafted docs against an independent scalar Python
+    reference, (2) bit-level agreement with DuckDB's list-function replay on
+    the real sf0.001 documents table, (3) the plan stays pure-JVM (no
+    Python eval node — the operator must live inside codegen).
+    """
+    import duckdb
+
+    from addressit_spark.operators.text import with_repetition_stats
+
+    def ref(text, n=3):
+        text = text or ""
+        lines = [l.strip() for l in text.split("\n") if l.strip() != ""]
+        dlf = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+        toks = [t.lower() for t in text.split() if t != ""]
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        dnf = (len(grams) - len(set(grams))) / len(grams) if len(toks) >= n else 0.0
+        return round(dlf, 4), round(dnf, 4)
+
+    docs = [
+        ("d1", "spam spam spam spam spam"),               # one repeated 3-gram
+        ("d2", "a\nb\na\n\n  \nb\nc"),                     # dup lines, blanks dropped
+        ("d3", "one two"),                                 # < n tokens → 0.0
+        ("d4", ""),                                        # empty → 0.0 / 0.0
+        ("d5", "The cat sat. the CAT sat. unique tail"),   # case-folded grams
+        ("d6", None),                                      # NULL text → 0.0 / 0.0
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["dup_line_frac"], r["dup_ngram_frac"])
+        for r in with_repetition_stats(df).collect()
+    }
+    for doc_id, text in docs:
+        exp = ref(text)
+        assert got[doc_id] == pytest.approx(exp, abs=1e-9), (doc_id, got[doc_id], exp)
+
+    # plan: no Python eval anywhere — pure column expressions
+    plan = with_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+    # DuckDB replay on the real table (independent list-function semantics)
+    sf_dir = "/root/testdata/sf0.001"
+    real = spark.read.parquet(sf_dir + "/documents.parquet")
+    mine = {
+        r["doc_id"]: (r["dup_line_frac"], r["dup_ngram_frac"])
+        for r in with_repetition_stats(real).select(
+            "doc_id", "dup_line_frac", "dup_ngram_frac"
+        ).collect()
+    }
+    con = duckdb.connect()
+    theirs = con.execute(
+        f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                              l -> trim(l)), l -> l <> '') AS lines,
+                   list_transform(list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                              t -> t <> ''), t -> lower(t)) AS toks
+            FROM read_parquet('{sf_dir}/documents.parquet')
+        ), grams AS (
+            SELECT doc_id, lines, toks,
+                   CASE WHEN len(toks) >= 3 THEN
+                       list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                   ELSE [] END AS g
+            FROM base
+        )
+        SELECT doc_id,
+               CASE WHEN len(lines) > 0
+                    THEN round((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines), 4)
+                    ELSE 0.0 END AS dup_line_frac,
+               CASE WHEN len(toks) >= 3
+                    THEN round((len(g) - len(list_distinct(g))) * 1.0 / len(g), 4)
+                    ELSE 0.0 END AS dup_ngram_frac
+        FROM grams
+        """
+    ).fetchall()
+    con.close()
+    assert len(theirs) == len(mine) > 0
+    for doc_id, dlf, dnf in theirs:
+        assert mine[doc_id] == pytest.approx((dlf, dnf), abs=1e-4), doc_id
