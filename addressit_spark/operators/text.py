@@ -251,6 +251,42 @@ def with_repetition_stats(
     )
 
 
+# PII patterns — deliberately restricted to the regex subset Java regex
+# (Spark) and RE2 (DuckDB) interpret identically: no lookaround, no
+# backreferences, only non-capturing groups and \b anchors. Order of
+# application matters: emails first (their local parts can contain digits),
+# then IPv4 (dotted quads would otherwise match the phone pattern), then
+# phones.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = (
+    r"\+?\(?\d{1,4}\)?[-. ]?(?:\(?\d{2,4}\)?[-. ]?)?\d{3,4}[-. ]?\d{3,4}\b"
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4s / phone-shaped numbers from a text column.
+
+    Adds ``text_redacted`` (matches replaced by ``<EMAIL>`` / ``<IP>`` /
+    ``<PHONE>``) and per-kind match counts ``n_pii_emails`` / ``n_pii_ips``
+    / ``n_pii_phones`` (counted on the ORIGINAL text, so the counts are
+    independent of replacement order). The C4/Dolma-style pre-training
+    scrub: pure ``regexp_replace``/``regexp_count`` column expressions —
+    JVM-side, codegen-friendly, no shuffle, linear per document — and the
+    patterns are engine-portable so DuckDB replays them bit-identically.
+    """
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    red = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_pii_emails", F.regexp_count(col, F.lit(PII_EMAIL_RE)))
+        .withColumn("n_pii_ips", F.regexp_count(col, F.lit(PII_IPV4_RE)))
+        .withColumn("n_pii_phones", F.regexp_count(col, F.lit(PII_PHONE_RE)))
+        .withColumn("text_redacted", red)
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

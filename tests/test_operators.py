@@ -1055,3 +1055,73 @@ def test_repetition_stats_semantics_and_duckdb_parity(spark):
     assert len(theirs) == len(mine) > 0
     for doc_id, dlf, dnf in theirs:
         assert mine[doc_id] == pytest.approx((dlf, dnf), abs=1e-4), doc_id
+
+
+def test_redact_pii_semantics_and_duckdb_parity(spark):
+    """PII scrub: handcrafted cases, ordering rules, DuckDB regex parity."""
+    import duckdb
+
+    from addressit_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        redact_pii,
+    )
+
+    docs = [
+        ("d1", "mail me at jane.doe+x@example.co.uk or bob@x.io today"),
+        ("d2", "server at 192.168.0.1 and 10.0.0.255, not 1.2.3"),
+        ("d3", "call +1-650-555-0199 or (02) 9555 0123 now"),
+        ("d4", "an IP 8.8.8.8 must become <IP>, not a phone"),
+        ("d5", "no pii here at all"),
+        ("d6", None),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+
+    assert got["d1"]["n_pii_emails"] == 2
+    assert got["d1"]["text_redacted"] == "mail me at <EMAIL> or <EMAIL> today"
+    assert got["d2"]["n_pii_ips"] == 2
+    assert "192.168.0.1" not in got["d2"]["text_redacted"]
+    assert got["d3"]["n_pii_phones"] >= 2
+    assert "555" not in got["d3"]["text_redacted"]
+    # ordering: the dotted quad is taken by <IP> before the phone pattern
+    assert "<IP>" in got["d4"]["text_redacted"]
+    assert "<PHONE>" not in got["d4"]["text_redacted"]
+    assert got["d5"]["text_redacted"] == "no pii here at all"
+    assert got["d6"]["text_redacted"] == ""  # NULL → scrub of ""
+
+    # plan stays pure-JVM
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+    # DuckDB (RE2) replays the same patterns bit-identically on real text
+    sf_dir = "/root/testdata/sf0.001"
+    real = spark.read.parquet(sf_dir + "/documents.parquet")
+    mine = {
+        r["doc_id"]: (
+            r["n_pii_emails"], r["n_pii_ips"], r["n_pii_phones"], r["text_redacted"]
+        )
+        for r in redact_pii(real).select(
+            "doc_id", "n_pii_emails", "n_pii_ips", "n_pii_phones", "text_redacted"
+        ).collect()
+    }
+    con = duckdb.connect()
+    theirs = con.execute(
+        f"""
+        SELECT doc_id,
+               len(regexp_extract_all(coalesce(text,''), '{PII_EMAIL_RE}')) AS n_e,
+               len(regexp_extract_all(coalesce(text,''), '{PII_IPV4_RE}')) AS n_i,
+               len(regexp_extract_all(coalesce(text,''), '{PII_PHONE_RE}')) AS n_p,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(coalesce(text,''), '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_IPV4_RE}', '<IP>', 'g'),
+                 '{PII_PHONE_RE}', '<PHONE>', 'g') AS red
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        """
+    ).fetchall()
+    con.close()
+    assert len(theirs) == len(mine) > 0
+    for doc_id, n_e, n_i, n_p, red in theirs:
+        assert mine[doc_id] == (n_e, n_i, n_p, red), doc_id
