@@ -251,6 +251,40 @@ def with_repetition_stats(
     )
 
 
+def with_boilerplate_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style shape signals: symbol ratio and list/ellipsis line shares.
+
+    - ``symbol_word_ratio`` — (# of ``#`` and ``...`` occurrences) / words;
+      Gopher drops documents above 0.1.
+    - ``bullet_line_frac`` — fraction of non-empty lines starting with a
+      bullet marker (``-``, ``*``, ``•``); Gopher drops above 0.9.
+    - ``ellipsis_line_frac`` — fraction of non-empty lines ending in
+      ``...`` or ``…``; Gopher drops above 0.3.
+
+    Pure column expressions over one line split — no UDF, no shuffle.
+    """
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    n_words = F.size(tokens_col(col))
+    n_sym = F.regexp_count(col, F.lit(r"#|\.\.\.")).cast("double")
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]")))
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    frac = lambda n: F.when(  # noqa: E731
+        n_lines > 0, F.round(n.cast("double") / n_lines, 4)
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn(
+            "symbol_word_ratio",
+            F.when(n_words > 0, F.round(n_sym / n_words, 4)).otherwise(F.lit(0.0)),
+        )
+        .withColumn("bullet_line_frac", frac(n_bullet))
+        .withColumn("ellipsis_line_frac", frac(n_ellipsis))
+    )
+
+
 # PII patterns — deliberately restricted to the regex subset Java regex
 # (Spark) and RE2 (DuckDB) interpret identically: no lookaround, no
 # backreferences, only non-capturing groups and \b anchors. Order of
