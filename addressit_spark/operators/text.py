@@ -285,6 +285,45 @@ def with_boilerplate_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass corpus filter at the published Gopher operating points.
+
+    Composes :func:`with_token_stats`, :func:`with_repetition_stats`, and
+    :func:`with_boilerplate_stats` and emits ``keep`` (boolean) plus
+    ``drop_reasons`` (array of rule names, empty when kept), so a 100 TB
+    pipeline can both filter and audit its rejection mix in the same scan.
+    Thresholds (Rae et al. 2021 §A1.1): token count in [50, 100k], mean
+    token length in [3, 10], symbol/word ratio ≤ 0.1, bullet lines ≤ 90%,
+    ellipsis lines ≤ 30%, stopword ratio ≥ 0.02 (their two-stopwords proxy),
+    dup-line fraction ≤ 0.30, dup-3gram fraction ≤ 0.18. Everything stays a
+    single projection over one scan — no shuffle, no UDF — so the filter is
+    free to fuse with whatever the pipeline reads next.
+    """
+    d = with_boilerplate_stats(
+        with_repetition_stats(with_token_stats(df, text_col), text_col),
+        text_col,
+    )
+    rules = [
+        ("n_tokens", (F.col("token_count") >= 50) & (F.col("token_count") <= 100000)),
+        ("tok_len", (F.col("avg_token_len") >= 3.0) & (F.col("avg_token_len") <= 10.0)),
+        ("symbol_ratio", F.col("symbol_word_ratio") <= 0.1),
+        ("bullet_lines", F.col("bullet_line_frac") <= 0.9),
+        ("ellipsis_lines", F.col("ellipsis_line_frac") <= 0.3),
+        ("stopwords", F.col("stopword_ratio") >= 0.02),
+        ("dup_lines", F.col("dup_line_frac") <= 0.30),
+        ("dup_ngrams", F.col("dup_ngram_frac") <= 0.18),
+    ]
+    reasons = F.filter(
+        F.array(
+            *[F.when(~ok, F.lit(name)).otherwise(F.lit(None)) for name, ok in rules]
+        ),
+        lambda r: r.isNotNull(),
+    )
+    return d.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size(F.col("drop_reasons")) == 0
+    )
+
+
 # PII patterns — deliberately restricted to the regex subset Java regex
 # (Spark) and RE2 (DuckDB) interpret identically: no lookaround, no
 # backreferences, only non-capturing groups and \b anchors. Order of

@@ -89,3 +89,47 @@ def test_boilerplate_stats_semantics_and_duckdb_parity(spark):
     assert len(theirs) == len(mine) > 0
     for doc_id, swr, blf, elf in theirs:
         assert mine[doc_id] == pytest.approx((swr, blf, elf), abs=1e-4), doc_id
+
+
+def test_gopher_filter_rules_and_single_scan(spark):
+    """Composite filter: rule attribution, keep semantics, one-scan plan."""
+    from addressit_spark.operators.text import gopher_filter
+
+    # ≥50 tokens, every 3-gram unique, mean token length in [3,10],
+    # stopword mass from the interleaved "the"/"and"
+    good = " ".join(
+        ("the word%03d and item%03d" % (i, i)).strip() for i in range(20)
+    )
+    docs = [
+        ("keepme", good),
+        ("short", "too short"),
+        ("spam", "spam " * 200),  # dup 3-grams, no stopwords, short tokens
+        ("bullets", "\n".join("- item %d is here now" % i for i in range(20))),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in gopher_filter(df).collect()}
+
+    assert got["keepme"]["keep"] and got["keepme"]["drop_reasons"] == []
+    assert not got["short"]["keep"]
+    assert "n_tokens" in got["short"]["drop_reasons"]
+    assert not got["spam"]["keep"]
+    assert {"dup_ngrams", "stopwords"} <= set(got["spam"]["drop_reasons"])
+    assert not got["bullets"]["keep"]
+    assert "bullet_lines" in got["bullets"]["drop_reasons"]
+
+    # one scan, no shuffle, no Python: the whole filter is a projection
+    plan = gopher_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
+
+    # the audit view a pipeline would run: rejection mix per rule
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    mix = (
+        gopher_filter(real)
+        .select(F.explode_outer("drop_reasons").alias("rule"))
+        .groupBy("rule")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in mix) >= real.count()  # every doc audited
